@@ -1,0 +1,141 @@
+"""Distribution-drift checks: two-sample Kolmogorov–Smirnov between groups.
+
+Reference: ks_test over every site pair (R/evaluate_distribution.R:23-70),
+then a site fails when its KS distance exceeds a threshold against ALL
+other sites (:86-147, eval VA_AP_01).
+
+Two implementations:
+
+* `ks_pairwise` — fully distributed ECDF formulation: no collect, no
+  Python. For each group, cume_dist over values; align the two step
+  functions with a union + last-value-carried-forward window; the KS
+  statistic is max|F1 - F2|. Scales to arbitrarily large groups.
+* `ks_pairwise_pandas` — applyInPandas per group-pair for moderate group
+  cardinalities; simpler, exact, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ecdf(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group empirical CDF at each observed value: F_g(v) =
+    count(x <= v)/n_g, computed with one groupBy + one window (no UDF)."""
+    counts = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(group_col).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = Window.partitionBy(group_col)
+    return counts.select(
+        group_col,
+        value_col,
+        (F.sum("_c").over(w) / F.sum("_c").over(totals)).alias("cdf"),
+    )
+
+
+def ks_pairwise(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """KS statistic for every unordered group pair, distributed.
+
+    Build each group's ECDF (small relative to facts: one row per distinct
+    value per group), cross the distinct group list with itself (tiny),
+    union the two step functions per pair, carry each side's CDF forward
+    (last_value ignoring nulls over the merged value order), take
+    max|F_a - F_b|. Returns (group_a, group_b, ks_stat).
+    """
+    e = ecdf(df, group_col, value_col)
+    groups = [r[0] for r in df.select(group_col).distinct().collect()]
+    groups = sorted(groups)
+    pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1 :]]
+    spark = df.sparkSession
+    pairs_df = F.broadcast(
+        spark.createDataFrame(pairs, f"group_a string, group_b string")
+    )
+
+    ea = e.select(
+        F.col(group_col).alias("group_a"), F.col(value_col).alias("v"),
+        F.col("cdf").alias("cdf_a"),
+    )
+    eb = e.select(
+        F.col(group_col).alias("group_b"), F.col(value_col).alias("v"),
+        F.col("cdf").alias("cdf_b"),
+    )
+    # For each pair: all values of either side, with both CDFs stepped.
+    left = pairs_df.join(ea, "group_a").select(
+        "group_a", "group_b", "v", "cdf_a", F.lit(None).cast("double").alias("cdf_b")
+    )
+    right = pairs_df.join(eb, "group_b").select(
+        "group_a", "group_b", "v", F.lit(None).cast("double").alias("cdf_a"), "cdf_b"
+    )
+    merged = left.unionByName(right)
+    w = (
+        Window.partitionBy("group_a", "group_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = merged.select(
+        "group_a",
+        "group_b",
+        F.coalesce(F.last("cdf_a", ignorenulls=True).over(w), F.lit(0.0)).alias("fa"),
+        F.coalesce(F.last("cdf_b", ignorenulls=True).over(w), F.lit(0.0)).alias("fb"),
+    )
+    return stepped.groupBy("group_a", "group_b").agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat")
+    )
+
+
+def ks_pairwise_pandas(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact two-sample KS per group pair via applyInPandas (Arrow-batched,
+    one group-pair per task). Suitable when per-group samples fit an
+    executor; the distributed `ks_pairwise` is the scale path."""
+    import numpy as np  # local import: executors only
+
+    e = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+
+    def ks(pdf):
+        import pandas as pd
+
+        ga, gb = pdf["group_a"].iloc[0], pdf["group_b"].iloc[0]
+        a = np.sort(pdf.loc[pdf["side"] == "a", "v"].values)
+        b = np.sort(pdf.loc[pdf["side"] == "b", "v"].values)
+        allv = np.concatenate([a, b])
+        fa = np.searchsorted(a, allv, side="right") / max(len(a), 1)
+        fb = np.searchsorted(b, allv, side="right") / max(len(b), 1)
+        stat = float(np.max(np.abs(fa - fb))) if len(allv) else 0.0
+        return pd.DataFrame(
+            {"group_a": [ga], "group_b": [gb], "ks_stat": [round(stat, 6)]}
+        )
+
+    groups = [r[0] for r in df.select(group_col).distinct().collect()]
+    groups = sorted(groups)
+    pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1 :]]
+    spark = df.sparkSession
+    pairs_df = F.broadcast(spark.createDataFrame(pairs, "group_a string, group_b string"))
+    ta = pairs_df.join(e, pairs_df.group_a == e.g).select(
+        "group_a", "group_b", F.lit("a").alias("side"), "v"
+    )
+    tb = pairs_df.join(e, pairs_df.group_b == e.g).select(
+        "group_a", "group_b", F.lit("b").alias("side"), "v"
+    )
+    both = ta.unionByName(tb)
+    return both.groupBy("group_a", "group_b").applyInPandas(
+        ks, "group_a string, group_b string, ks_stat double"
+    )
+
+
+def drift_flags(
+    ks: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Groups whose KS distance exceeds `threshold` against ALL others
+    (reference evaluate_distribution rule, R/evaluate_distribution.R:86-147).
+    Symmetrize the pair table, then per group take min(ks) > threshold."""
+    sym = ks.select(
+        F.col("group_a").alias("g"), F.col("ks_stat").alias("s")
+    ).unionByName(ks.select(F.col("group_b").alias("g"), F.col("ks_stat").alias("s")))
+    return (
+        sym.groupBy("g")
+        .agg(F.min("s").alias("min_ks"))
+        .filter(F.col("min_ks") > threshold)
+        .select(F.col("g").alias("group"), "min_ks")
+    )

@@ -1,0 +1,154 @@
+"""Ordered / windowed operators: duplicates, periodicity, chronology,
+overlap, sessionization.
+
+All of these partition by an entity key and order by time — in a chained
+pipeline Spark reuses the single shuffle on the entity key across
+consecutive window ops (one Exchange, several Window nodes). The reference
+does each with dplyr group_by + lead/lag or distinct-then-join
+(R/evaluate_duplication.R, R/evaluate_periodicity.R,
+R/characterise_episodes.R); we use one window each, never a self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def flag_duplicates(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Rows after the first per key group (keep-first semantics).
+
+    Reference does distinct(keys) + right-join back (R/evaluate_duplication.R:
+    37-57); idiomatic Spark is one row_number window — one shuffle, no join.
+    Ordering is by an explicit stable column (never arrival order) so the
+    outcome is deterministic under parallelism.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .drop("_rn")
+    )
+
+
+def periodicity(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    lo_per_day: float,
+    hi_per_day: float,
+) -> DataFrame:
+    """Entities whose event cadence falls outside [lo, hi] events/24h, or
+    that have < 2 events. Returns per-entity (entity, n_events, span_hours,
+    events_per_day, fail_reason).
+
+    Reference: R/evaluate_periodicity.R:48-94 — lead() gaps per episode.
+    A plain groupBy(min,max,count) gives the same events/24h verdict with a
+    partial (map-side) aggregate instead of a full window sort.
+    """
+    agg = df.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col)))
+            / 3600.0
+        ).alias("span_hours"),
+    )
+    rate = F.when(
+        F.col("span_hours") > 0, F.col("n_events") / (F.col("span_hours") / 24.0)
+    )
+    return (
+        agg.withColumn("events_per_day", rate)
+        .withColumn(
+            "fail_reason",
+            F.when(F.col("n_events") < 2, F.lit("lt2_events"))
+            .when(F.col("events_per_day") < lo_per_day, F.lit("too_sparse"))
+            .when(F.col("events_per_day") > hi_per_day, F.lit("too_dense"))
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("fail_reason").isNotNull())
+    )
+
+
+def max_gap(df: DataFrame, entity_col: str, ts_col: str) -> DataFrame:
+    """Per-entity maximum inter-event gap in hours (lead-based periodicity
+    core, reference R/evaluate_periodicity.R:70-80)."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    gap = (
+        F.unix_timestamp(F.lead(ts_col).over(w)) - F.unix_timestamp(F.col(ts_col))
+    ) / 3600.0
+    return (
+        df.withColumn("_gap", gap)
+        .groupBy(entity_col)
+        .agg(F.max("_gap").alias("max_gap_hours"))
+    )
+
+
+def chronology_violations(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Rows where value > next value within an entity's ordered sequence —
+    the non-monotone life-course check (reference R/evaluate_chronology.R:
+    72-91: dob ≤ admission ≤ … ≤ discharge). One lead window."""
+    w = Window.partitionBy(entity_col).orderBy(order_col)
+    nxt = F.lead(value_col).over(w)
+    return (
+        df.withColumn("_next", nxt)
+        .filter(F.col("_next").isNotNull() & (F.col(value_col) > F.col("_next")))
+        .drop("_next")
+    )
+
+
+def overlaps(
+    df: DataFrame,
+    entity_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Intervals that overlap the next interval of the same entity
+    (reference episode-overlap check, R/characterise_episodes.R:145-164):
+    lead(start) < end."""
+    w = Window.partitionBy(entity_col).orderBy(start_col)
+    next_start = F.lead(start_col).over(w)
+    return (
+        df.withColumn("_next_start", next_start)
+        .filter(
+            F.col("_next_start").isNotNull()
+            & (F.col("_next_start") < F.col(end_col))
+        )
+        .drop("_next_start")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap from the
+    previous event exceeds `gap_minutes`. Classic lag + cumulative-sum
+    sessionization (reference characterise_spells,
+    R/characterise_episodes.R:269-285).
+
+    Both windows share one partitioning → one shuffle on the entity key.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(ts_col) - F.unix_timestamp(prev_ts) > gap_minutes * 60),
+        1,
+    ).otherwise(0)
+    cum = Window.partitionBy(entity_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("_new_session", new_sess).withColumn(
+        "session_id", F.sum("_new_session").over(cum)
+    ).drop("_new_session")
