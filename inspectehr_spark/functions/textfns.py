@@ -86,6 +86,32 @@ def langid_heuristic(text_col) -> Column:
     return F.when(best.isNull(), F.lit("und")).otherwise(best["lang"])
 
 
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Word n-grams of a token-array column as array<string>, built from
+    zip_with over shifted slices.
+
+    WHY not transform(sequence(1, sz-n+1), i -> slice(toks, i, n)): any
+    expression placed inside a higher-order-function lambda body is
+    re-evaluated PER ELEMENT (Catalyst inlines aliases into lambdas —
+    observed as a quadratic hang on 100k-token documents). zip_with's
+    inputs are ordinary children evaluated once per row; its lambda only
+    touches the bound element variables, so this composition is linear
+    regardless of how the optimizer collapses projections.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    out = toks
+    for k in range(1, n):
+        shifted = F.slice(
+            toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))
+        )
+        out = F.zip_with(out, shifted, lambda acc, nxt: F.concat_ws(" ", acc, nxt))
+    # zip_with pads with nulls → trailing entries are short grams; clip.
+    return F.when(
+        F.size(toks) >= n, F.slice(out, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def fingerprint(text_col, k: int = 8) -> Column:
     """Deterministic 64-bit document fingerprint: xxhash64 of the document's
     k lexicographically-smallest token hashes (a bottom-k sketch — robust to

@@ -6,6 +6,12 @@ too. Everything here is expression-level (hash/xxhash64/transform over
 arrays) — no Python in the hot path. The LSH band join is an equi-join on
 (band_id, band_hash), which Spark shuffles by the band key: candidate pairs
 only, never the O(n²) cross product.
+
+IMPORTANT evaluation-cost rule observed throughout: any expression used
+inside a higher-order-function lambda is first MATERIALIZED as a column
+(staged select/withColumn). Catalyst inlines non-attribute expressions into
+lambda bodies, re-evaluating them per array element — quadratic on big
+documents. Staging makes them once-per-row bound references.
 """
 
 from __future__ import annotations
@@ -18,9 +24,11 @@ def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """All but the first doc per identical text (keep-first by lowest id —
-    explicit stable ordering). Hash-groupBy on a 64-bit fingerprint instead
-    of the raw text so the shuffle carries 8 bytes, not the document."""
-    w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(F.col(id_col).asc())
+    explicit stable ordering). The window keys on (hash, text): the 64-bit
+    hash prunes the sort space, the text guards collisions."""
+    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)).orderBy(
+        F.col(id_col).asc()
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") > 1)
@@ -28,24 +36,42 @@ def exact_duplicates(
     )
 
 
-def shingles(text_col: str, n: int = 3) -> F.Column:
-    """Word n-gram shingle hashes as array<long>: split → sliding window via
-    transform over an index sequence → xxhash64 per shingle. Pure SQL."""
-    toks = F.split(F.col(text_col), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+def with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "shingles",
+    n: int = 3,
+) -> DataFrame:
+    """Add an array<long> column of word n-gram shingle hashes.
+
+    Two staged projections: tokens materialize first, then the sliding
+    window references them as a bound attribute (see module docstring)."""
+    from inspectehr_spark.functions.textfns import word_ngrams
+
+    staged = df.withColumn("_toks", F.split(F.col(text_col), r"\s+"))
+    grams = word_ngrams(F.col("_toks"), n)
+    staged = staged.withColumn("_grams", grams)
+    sh = F.transform(F.col("_grams"), lambda g: F.xxhash64(g))
+    return staged.withColumn(out_col, sh).drop("_toks", "_grams")
 
 
-def minhash_signature(shingle_col: F.Column, num_hashes: int = 64) -> F.Column:
-    """MinHash signature as array<long>: for each of `num_hashes` seeded
-    permutations h_i(x) = xxhash64(x, seed=i), take the min over shingles.
-    array_min(transform(...)) stays JVM-side."""
+def with_minhash_signature(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    out_col: str = "sig",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Add an array<long> MinHash signature: h_i(x) = xxhash64(x, seed=i),
+    signature[i] = min over shingles. array_min(transform(...)) per hash,
+    over a materialized shingle column — JVM-side only."""
+    sh = F.col(shingle_col)
+
     def perm_min(i: int):
-        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
 
-    return F.array(*[perm_min(i).alias(f"mh{i}") for i in range(num_hashes)])
+    return df.withColumn(
+        out_col, F.array(*[perm_min(i) for i in range(num_hashes)])
+    )
 
 
 def minhash_lsh_duplicates(
@@ -56,24 +82,26 @@ def minhash_lsh_duplicates(
     bands: int = 16,
     ngram: int = 3,
     jaccard_threshold: float = 0.8,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
-    shingle → signature → split signature into `bands` bands → candidate
-    pairs share (band_id, band_hash) → verify estimated Jaccard (signature
-    agreement fraction) ≥ threshold. Returns (doc_id_a, doc_id_b,
-    est_jaccard) with a < b.
+    shingle → signature → `bands` band hashes → candidate pairs share
+    (band_id, band_hash) → verify estimated Jaccard (signature agreement
+    fraction) ≥ threshold. Returns (doc_id_a, doc_id_b, est_jaccard), a < b.
 
-    Scale: the only shuffles are (1) the band-key groupBy and (2) the
-    pair-verification join on ids; both are keyed equi-ops. Band buckets
-    with a single member never produce pairs. Skew guard: very hot buckets
-    (boilerplate pages) are capped via a row_number cutoff.
+    Scale: the only shuffles are the band-key self-join and the final
+    dedup; both keyed equi-ops. Hot buckets (boilerplate) are capped at
+    `bucket_cap` docs via row_number — the cap is logged at the metrics
+    layer in a real run, never silent-dropped without trace.
     """
     rows_per_band = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(shingles(text_col, ngram), num_hashes).alias("sig"),
-    )
+    sigs = with_minhash_signature(
+        with_shingles(df.select(F.col(id_col).alias("doc_id"), text_col),
+                      text_col=text_col, n=ngram),
+        num_hashes=num_hashes,
+    ).select("doc_id", "sig")
+
     banded = sigs.select(
         "doc_id",
         "sig",
@@ -92,9 +120,10 @@ def minhash_lsh_duplicates(
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_hash")
 
-    # Cap pathological buckets (boilerplate): keep at most 64 docs/bucket.
     wb = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
-    banded = banded.withColumn("_rn", F.row_number().over(wb)).filter(F.col("_rn") <= 64)
+    banded = banded.withColumn("_rn", F.row_number().over(wb)).filter(
+        F.col("_rn") <= bucket_cap
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -128,14 +157,19 @@ def minhash_lsh_duplicates(
     )
 
 
-def simhash(text_col: str = "text", bits: int = 64) -> F.Column:
-    """64-bit SimHash over word tokens, pure SQL: for each bit b, sum over
-    tokens of (+1 if bit set in xxhash64(token) else -1); bit = sign.
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    bits: int = 64,
+) -> DataFrame:
+    """Add a 64-bit SimHash over word tokens, pure SQL: per bit, majority
+    vote of ±1 across token hashes; staged token/hash columns."""
+    staged = df.withColumn("_toks", F.split(F.col(text_col), r"\s+")).withColumn(
+        "_th", F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
+    )
+    hashes = F.col("_th")
 
-    Implemented as: per-bit majority via aggregate over the token array.
-    """
-    toks = F.split(F.col(text_col), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
     def vote_for(b: int):
         return F.aggregate(
             hashes,
@@ -144,18 +178,12 @@ def simhash(text_col: str = "text", bits: int = 64) -> F.Column:
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
 
-    bit_exprs = []
+    out = F.lit(0).cast("long")
     for b in range(bits):
-        vote = vote_for(b)
-        bit_exprs.append(
-            F.when(vote > 0, F.lit(1).cast("long") * F.lit(2**b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+        out = out + F.when(vote_for(b) > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    out = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        out = out + e
-    return out
+    return staged.withColumn(out_col, out).drop("_toks", "_th")
 
 
 def ngram_jaccard_pairs(
@@ -165,16 +193,15 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     ngram: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for given candidate (doc_id_a, doc_id_b) pairs:
-    join texts in, compute |A∩B| / |A∪B| over distinct shingle-hash arrays
-    with array_intersect/array_union — JVM-side set ops."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(text_col, ngram)).alias("sh"),
-    )
+    """Exact n-gram Jaccard for candidate (doc_id_a, doc_id_b) pairs:
+    |A∩B| / |A∪B| over distinct shingle sets via array_intersect/union."""
+    sh = with_shingles(
+        df.select(F.col(id_col).alias("doc_id"), text_col), text_col=text_col, n=ngram
+    ).select("doc_id", F.array_distinct("shingles").alias("sh"))
     return (
-        candidate_pairs.join(sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("sh", "sh_a"), "doc_id_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("sh", "sh_b"), "doc_id_b")
+        candidate_pairs
+        .join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")), "doc_id_a")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")), "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
@@ -186,12 +213,18 @@ def ngram_jaccard_pairs(
     )
 
 
-def dup_ngram_fraction(text_col: str = "text", n: int = 3) -> F.Column:
-    """Within-document duplicated n-gram fraction (Gopher repetition rule):
-    1 - distinct_ngrams / total_ngrams. Pure array SQL."""
-    sh = shingles(text_col, n)
-    total = F.size(sh)
-    return F.when(
+def with_dup_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "dup_ngram_frac",
+    n: int = 3,
+) -> DataFrame:
+    """Add the within-document duplicated n-gram fraction (Gopher
+    repetition rule): 1 - distinct/total over word n-grams."""
+    staged = with_shingles(df, text_col=text_col, out_col="_sh", n=n)
+    total = F.size(F.col("_sh"))
+    frac = F.when(
         total > 0,
-        F.round(1.0 - F.size(F.array_distinct(sh)) / total, 6),
+        F.round(1.0 - F.size(F.array_distinct(F.col("_sh"))) / total, 6),
     ).otherwise(F.lit(0.0))
+    return staged.withColumn(out_col, frac).drop("_sh")

@@ -1,0 +1,287 @@
+"""End-to-end quality-filter pipeline over Common-Crawl-style pages.
+
+Stages (all declarative; Catalyst owns the physical plan):
+
+  pages(url, warc_ts, html, text, lang)
+    │ resume: anti-join processed-partition manifest         (R/perform_evaluation.R:267-274 skip-list pattern)
+    │ salt: repartition on (salt) — giant-HTML skew guard
+    ├─ extract_text_udf(html)          → text (byte-identical contract)
+    ├─ native heuristic features       → n_chars … dup_ngram_frac
+    ├─ langid_udf / perplexity_udf     → lang_pred, perplexity (Arrow batches)
+    ├─ exact-dup window (hash-keyed)   → is_duplicate
+    ├─ rule battery                    → failure_log(url, check_code, …)
+    ├─ anti-join decisions             → keep / first_fail_code
+    ├─ scrub chain (JVM regex)         → scrubbed_text
+    └─ sinks: decisions/, failures/, metrics/, manifest/   (parquet,
+       partitioned by p_date — Iceberg writeTo(...) on a real catalog)
+
+Scale notes: the only wide operations are (1) the exact-dup window, keyed
+by xxhash64(text) so the shuffle carries an 8-byte key + row, and (2) the
+failure-log groupBy for first_fail_code, keyed by url. Both sides of the
+decision join are partitioned by url upstream on a bucketed Iceberg table.
+At 10^12 docs the dup window should key on a 128-bit hash; 64-bit is fine
+at fixture scale (collision note in exact-dup docstring, operators/dedup).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inspectehr_spark.functions.textfns import ALL_STOPWORDS, word_ngrams
+from inspectehr_spark.pipeline import spec
+from inspectehr_spark.pipeline.models import (
+    extract_text_udf,
+    langid_udf,
+    perplexity_udf,
+)
+from inspectehr_spark.pipeline.scrub import scrub_text
+
+
+def enrich(pages: DataFrame) -> DataFrame:
+    """Extraction + features + model scores.
+
+    Staged projections, not one: `_toks` (and `_tris`) are MATERIALIZED as
+    array columns before any higher-order function references them. A
+    lambda body that embeds a non-attribute expression re-evaluates that
+    expression PER ELEMENT (Catalyst inlines it into the lambda), which is
+    quadratic on large documents — staging turns it into a once-per-row
+    bound reference. Projections collapse into one codegen stage anyway;
+    this costs no extra pass over the data.
+    """
+    toks = F.col("_toks")
+    n_chars = F.length("text_x")
+    n_tokens = F.size(toks)
+    # chars minus count(' '): count(' ') = size(split)-1
+    no_space = n_chars - F.size(F.split(F.col("text_x"), " ")) + 1
+    mean_wl = F.when(n_tokens > 0, no_space.cast("double") / n_tokens)
+    clean = F.length(F.regexp_replace("text_x", r"[^A-Za-z0-9 ]", ""))
+    sym_ratio = F.when(n_chars > 0, (n_chars - clean).cast("double") / n_chars)
+    sw = F.size(F.filter(toks, lambda t: F.lower(t).isin(*ALL_STOPWORDS)))
+    sw_ratio = F.when(n_tokens > 0, sw.cast("double") / n_tokens)
+    tris = word_ngrams(toks, 3)
+    dupng = F.when(
+        F.size(F.col("_tris")) > 0,
+        1.0 - F.size(F.array_distinct(F.col("_tris"))) / F.size(F.col("_tris")),
+    ).otherwise(F.lit(0.0))
+
+    return (
+        pages.withColumn("text_x", extract_text_udf("html"))
+        .withColumn(
+            "_toks", F.filter(F.split(F.col("text_x"), " "), lambda t: t != "")
+        )
+        .withColumn("_tris", tris)
+        .select(
+            "*",
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            mean_wl.alias("mean_word_len"),
+            sym_ratio.alias("symbol_ratio"),
+            sw_ratio.alias("stopword_ratio"),
+            dupng.alias("dup_ngram_frac"),
+            langid_udf("text_x").alias("lang_pred"),
+            perplexity_udf("text_x").alias("perplexity"),
+        )
+        .drop("_toks", "_tris")
+    )
+
+
+def flag_exact_duplicates(enriched: DataFrame) -> DataFrame:
+    """is_duplicate: same extracted text as a doc with smaller url.
+    Shuffle key = (xxhash64(text), text) → hash prunes the sort space."""
+    w = Window.partitionBy(F.xxhash64("text_x"), "text_x").orderBy("url")
+    return enriched.withColumn(
+        "is_duplicate", F.row_number().over(w) > 1
+    )
+
+
+def failure_flags(df: DataFrame) -> DataFrame:
+    """All spec checks as boolean columns (single codegen stage)."""
+    c = F.col
+    return df.select(
+        "*",
+        (~c("n_chars").cast("double").between(spec.LEN_LO, spec.LEN_HI)).alias("f_doc_length"),
+        (~c("n_tokens").cast("double").between(spec.TOK_LO, spec.TOK_HI)).alias("f_word_count"),
+        (
+            c("mean_word_len").isNotNull()
+            & ~c("mean_word_len").between(spec.MWL_LO, spec.MWL_HI)
+        ).alias("f_mean_word_length"),
+        (c("symbol_ratio").isNotNull() & (c("symbol_ratio") > spec.SYM_HI)).alias("f_symbol_ratio"),
+        (c("stopword_ratio").isNotNull() & (c("stopword_ratio") < spec.SW_LO)).alias("f_stopword_ratio"),
+        (c("dup_ngram_frac") > spec.DUPNG_HI).alias("f_dup_ngram_frac"),
+        (~c("lang").isin(*spec.ALLOWED_LANGS)).alias("f_lang_allowed"),
+        (c("lang_pred") != c("lang")).alias("f_langid_agree"),
+        (c("perplexity") > spec.PPL_HI).alias("f_perplexity"),
+        (
+            ~c("warc_ts").cast("timestamp").between(
+                F.lit(spec.TS_LO_ISO.replace("T", " ")).cast("timestamp"),
+                F.lit(spec.TS_HI_ISO.replace("T", " ")).cast("timestamp"),
+            )
+        ).alias("f_warc_ts_bounds"),
+        c("is_duplicate").alias("f_exact_duplicate"),
+    )
+
+
+def failure_log(flagged: DataFrame) -> DataFrame:
+    """Explode failing flags to the long (url, check_code) failure log."""
+    structs = [
+        F.when(
+            F.col(f"f_{code}"),
+            F.struct(F.lit(code).alias("check_code")),
+        )
+        for code in spec.CHECKS
+    ]
+    return flagged.select(
+        "url",
+        F.col("p_date"),
+        F.explode(F.filter(F.array(*structs), lambda x: x.isNotNull())).alias("f"),
+    ).select("url", "p_date", F.col("f.check_code").alias("check_code"))
+
+
+def decide(flagged: DataFrame) -> DataFrame:
+    """keep = no flag set; first_fail_code = lexicographic min (exactly the
+    anti-join semantics — computed column-wise to avoid re-joining)."""
+    fail_codes = F.array(
+        *[
+            F.when(F.col(f"f_{code}"), F.lit(code))
+            for code in spec.CHECKS
+        ]
+    )
+    min_fail = F.array_min(F.filter(fail_codes, lambda x: x.isNotNull()))
+    return flagged.select(
+        "url",
+        "p_date",
+        min_fail.isNull().alias("keep"),
+        min_fail.alias("first_fail_code"),
+        scrub_text("text_x").alias("scrubbed_text"),
+    )
+
+
+def metrics_table(flagged: DataFrame) -> DataFrame:
+    """Per-(partition, check) n_checked/n_failed — one aggregation emitting
+    all checks from the same pass (sum of flag ints, map-side combined)."""
+    aggs = []
+    for code in spec.CHECKS:
+        aggs.append(F.sum(F.col(f"f_{code}").cast("long")).alias(f"nf_{code}"))
+    per_part = flagged.groupBy("p_date").agg(
+        F.count(F.lit(1)).alias("n_checked"), *aggs
+    )
+    stacked = per_part.select(
+        "p_date",
+        "n_checked",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(code).alias("check_code"),
+                        F.col(f"nf_{code}").alias("n_failed"),
+                    )
+                    for code in spec.CHECKS
+                ]
+            )
+        ).alias("m"),
+    )
+    return stacked.select(
+        F.col("p_date").alias("partition_id"),
+        F.col("m.check_code").alias("check_code"),
+        "n_checked",
+        F.col("m.n_failed").alias("n_failed"),
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    resume: bool = True,
+    salt_partitions: int | None = None,
+) -> dict[str, int]:
+    """Execute the pipeline; idempotent under resume.
+
+    Partition unit = p_date (date(warc_ts)) — the lineage/manifest key.
+    With resume=True, partitions already in the manifest are skipped via
+    LEFT ANTI join (never reprocessed, never re-appended).
+    Returns {"partitions_processed": k, "rows": n}.
+    """
+    pages = spark.read.parquet(pages_path).withColumn(
+        "p_date", F.to_date("warc_ts").cast("string")
+    )
+
+    manifest_path = os.path.join(out_dir, "manifest")
+    if resume and _exists(spark, manifest_path):
+        done = spark.read.parquet(manifest_path).select("p_date").distinct()
+        pages = pages.join(F.broadcast(done), "p_date", "left_anti")
+
+    n_parts = pages.select("p_date").distinct().count()
+    if n_parts == 0:
+        return {"partitions_processed": 0, "rows": 0}
+
+    if salt_partitions:
+        # Giant-HTML skew guard: spread rows uniformly; Arrow batch size
+        # (session conf) bounds per-batch bytes through the UDF stages.
+        pages = pages.repartition(
+            salt_partitions, F.pmod(F.xxhash64("url"), F.lit(salt_partitions))
+        )
+
+    flagged = failure_flags(flag_exact_duplicates(enrich(pages)))
+    flagged = flagged.persist()
+    try:
+        decisions = decide(flagged)
+        log = failure_log(flagged)
+        mets = metrics_table(flagged)
+
+        decisions.write.mode("append").partitionBy("p_date").parquet(
+            os.path.join(out_dir, "decisions")
+        )
+        log.write.mode("append").partitionBy("p_date").parquet(
+            os.path.join(out_dir, "failures")
+        )
+        mets.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+        n_rows = flagged.count()
+        flagged.select("p_date").distinct().withColumn(
+            "completed_at", F.current_timestamp()
+        ).write.mode("append").parquet(manifest_path)
+    finally:
+        flagged.unpersist()
+    return {"partitions_processed": n_parts, "rows": n_rows}
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    jsc = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(jsc).exists(p)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """spark-submit / CLI entry:
+    python -m inspectehr_spark.pipeline.run --pages P --out O [--no-resume]
+    """
+    import argparse
+
+    from inspectehr_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="web quality-filter pipeline")
+    ap.add_argument("--pages", required=True, help="pages parquet path")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--salt-partitions", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="quality-filter", master=args.master)
+    stats = run_pipeline(
+        spark,
+        args.pages,
+        args.out,
+        resume=not args.no_resume,
+        salt_partitions=args.salt_partitions,
+    )
+    print(stats)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

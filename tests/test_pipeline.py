@@ -1,0 +1,162 @@
+"""End-to-end pipeline contract tests: keep/drop F1 vs the serial reference
+labeler, byte-identical scrubbed text per url, planted-error detection,
+and resume-from-manifest idempotence (BASELINE.json "metric"/"north_rule")."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from inspectehr_spark.pipeline import corpus, reference
+from inspectehr_spark.pipeline.run import run_pipeline
+
+N_DOCS = 1200
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def fixture_corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    path = str(d / "pages.parquet")
+    planted = corpus.write_pages_parquet(path, n=N_DOCS, seed=SEED)
+    rows, _ = corpus.generate_pages(n=N_DOCS, seed=SEED)
+    labels = reference.label_pages(rows)
+    return path, planted, labels
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, fixture_corpus, tmp_path_factory):
+    path, planted, labels = fixture_corpus
+    out = str(tmp_path_factory.mktemp("out"))
+    stats = run_pipeline(spark, path, out, resume=True, salt_partitions=8)
+    return out, stats, planted, labels
+
+
+def _decisions(spark, out):
+    df = spark.read.parquet(os.path.join(out, "decisions"))
+    return {
+        r["url"]: (r["keep"], r["first_fail_code"], r["scrubbed_text"])
+        for r in df.collect()
+    }
+
+
+def test_f1_against_reference(spark, pipeline_out):
+    out, stats, planted, labels = pipeline_out
+    got = _decisions(spark, out)
+    assert len(got) == len(labels)
+    tp = fp = fn = 0
+    mismatches = []
+    for url, ref in labels.items():
+        keep_ref = ref["keep"]
+        keep_got = got[url][0]
+        if keep_got and keep_ref:
+            tp += 1
+        elif keep_got and not keep_ref:
+            fp += 1
+            mismatches.append((url, "kept-but-ref-drops", ref["first_fail_code"]))
+        elif not keep_got and keep_ref:
+            fn += 1
+            mismatches.append((url, "dropped-but-ref-keeps", got[url][1]))
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    assert f1 >= 0.99, (f1, mismatches[:10])
+    # and the failure attribution agrees too
+    attr_mismatch = [
+        (u, got[u][1], labels[u]["first_fail_code"])
+        for u in labels
+        if got[u][1] != labels[u]["first_fail_code"]
+    ]
+    assert not attr_mismatch, attr_mismatch[:10]
+
+
+def test_scrubbed_text_byte_identical(spark, pipeline_out):
+    out, _stats, _planted, labels = pipeline_out
+    got = _decisions(spark, out)
+    bad = [
+        url
+        for url, ref in labels.items()
+        if got[url][2].encode("utf-8") != ref["scrubbed_text"].encode("utf-8")
+    ]
+    assert not bad, (len(bad), bad[:5])
+
+
+def test_planted_errors_detected(spark, pipeline_out):
+    out, _stats, planted, labels = pipeline_out
+    got = _decisions(spark, out)
+    for url in planted.too_short:
+        assert got[url][0] is False, url
+        assert got[url][1] == "doc_length", got[url]
+    for url in planted.bad_lang:
+        assert got[url][0] is False, url
+    for url in planted.exact_dup:
+        assert got[url][0] is False, url
+    for url in planted.future_ts:
+        assert got[url][0] is False, url
+    for url in planted.high_symbol:
+        assert got[url][0] is False, url
+    for url in planted.repeated_ngram:
+        assert got[url][0] is False, url
+    # PII docs are scrubbed, not dropped — unless another rule fires
+    for url in planted.pii:
+        txt = got[url][2]
+        assert "@" not in txt, url
+        assert "<EMAIL>" in txt or "<PHONE>" in txt or "<POSTCODE>" in txt or "<ID>" in txt, url
+
+
+def test_metrics_cover_all_partitions_and_checks(spark, pipeline_out):
+    out, _stats, _planted, _labels = pipeline_out
+    mets = spark.read.parquet(os.path.join(out, "metrics"))
+    from inspectehr_spark.pipeline import spec
+
+    rows = mets.collect()
+    parts = {r["partition_id"] for r in rows}
+    checks = {r["check_code"] for r in rows}
+    assert checks == set(spec.CHECKS)
+    dec = spark.read.parquet(os.path.join(out, "decisions"))
+    # partitionBy writes p_date as a dir key that reads back as DATE
+    assert parts == {
+        str(r["p_date"]) for r in dec.select("p_date").distinct().collect()
+    }
+    # n_failed consistency for one check
+    n_dup_metric = sum(r["n_failed"] for r in rows if r["check_code"] == "exact_duplicate")
+    log = spark.read.parquet(os.path.join(out, "failures"))
+    n_dup_log = log.filter(log.check_code == "exact_duplicate").count()
+    assert n_dup_metric == n_dup_log
+
+
+def test_resume_is_idempotent_and_incremental(spark, fixture_corpus, tmp_path_factory):
+    path, _planted, labels = fixture_corpus
+    out = str(tmp_path_factory.mktemp("out_resume"))
+
+    # phase 1: pretend the job died after processing only the first dates —
+    # simulate by pre-seeding the manifest with NOTHING and running over a
+    # date-filtered subset written to a temp parquet.
+    pages = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    dates = sorted(
+        r[0] for r in pages.select(F.to_date("warc_ts").cast("string")).distinct().collect()
+    )
+    half = dates[: len(dates) // 2]
+    part1 = str(tmp_path_factory.mktemp("p1") / "pages.parquet")
+    pages.filter(F.to_date("warc_ts").cast("string").isin(half)).write.parquet(
+        part1, mode="overwrite"
+    )
+    s1 = run_pipeline(spark, part1, out, resume=True)
+    assert s1["partitions_processed"] == len(half)
+
+    # phase 2: resume over the FULL corpus — only unprocessed partitions run
+    s2 = run_pipeline(spark, path, out, resume=True)
+    assert s2["partitions_processed"] == len(dates) - len(half)
+
+    # phase 3: run again — nothing left to do
+    s3 = run_pipeline(spark, path, out, resume=True)
+    assert s3["partitions_processed"] == 0
+
+    # final state == reference over the whole corpus (no dupes, no gaps)
+    got = _decisions(spark, out)
+    assert len(got) == len(labels)
+    wrong = [u for u, ref in labels.items() if got[u][0] != ref["keep"]]
+    assert not wrong, wrong[:5]
