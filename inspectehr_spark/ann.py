@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns.
+
+* `brute_force_topk` — exact cosine top-k against a query vector: one scan,
+  JVM-side zip_with/aggregate arithmetic, no shuffle (top-k via
+  orderBy+limit → Spark's TakeOrderedAndProject, partial per partition).
+* `with_hyperplane_buckets` / `lsh_topk` — random-hyperplane LSH: b sign
+  bits from deterministic ±1 hyperplanes (seeded, reproducible across
+  runs/executors), candidates share the bucket; exact re-rank inside. The
+  scale path: the bucket join is an equi-join on a small int key, the
+  brute-force cosine only touches candidates.
+
+At 10^9+ vectors the bucketed variant is the only viable plan; the
+brute-force is the correctness baseline the recall test compares against.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (id, cos_sim) ordered desc with deterministic
+    id tie-break."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    staged = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_q", q)
+    v, qq = F.col("_v"), F.col("_q")
+    sim = _dot(v, qq) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qq, qq)))
+    return (
+        staged.select("vec_id", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, bits: int = 12, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes (seeded PRNG, reproducible anywhere)."""
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(bits)]
+
+
+def bucket_expr(vec_col, planes: list[list[int]]):
+    """Pack sign(dot(v, h_b)) bits into one integer bucket id (native SQL)."""
+    v = vec_col
+    out = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        h = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(v, h) >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        out = out + bit
+    return out
+
+
+def with_hyperplane_buckets(
+    emb: DataFrame,
+    bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, bits, seed)
+    staged = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    return staged.withColumn("bucket", bucket_expr(F.col("_v"), planes))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with multi-probe: candidates = vectors whose
+    bucket is within `probe_radius` Hamming distance of the query's bucket
+    (standard multi-probe LSH — recovers recall lost to near-boundary
+    hyperplane flips); exact cosine re-rank inside the candidate set.
+    Returns (vec_id, cos_sim)."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, bits, seed)
+    qbucket = 0
+    for b, plane in enumerate(planes):
+        if sum(q * h for q, h in zip(query_vec, plane)) >= 0:
+            qbucket += 2**b
+    probes = {qbucket}
+    frontier = {qbucket}
+    for _ in range(probe_radius):
+        frontier = {bkt ^ (1 << b) for bkt in frontier for b in range(bits)}
+        probes |= frontier
+    bucketed = with_hyperplane_buckets(
+        emb, bits=bits, seed=seed, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    cands = bucketed.filter(F.col("bucket").isin(*sorted(probes)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    staged = cands.withColumn("_q", q)
+    v, qq = F.col("_v"), F.col("_q")
+    sim = _dot(v, qq) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qq, qq)))
+    return (
+        staged.select("vec_id", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )

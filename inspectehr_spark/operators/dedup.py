@@ -180,9 +180,10 @@ def with_simhash(
 
     out = F.lit(0).cast("long")
     for b in range(bits):
-        out = out + F.when(vote_for(b) > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        # shiftleft handles bit 63 (2**63 overflows a long literal)
+        out = out + F.when(
+            vote_for(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
     return staged.withColumn(out_col, out).drop("_toks", "_th")
 
 

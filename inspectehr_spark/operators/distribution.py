@@ -68,7 +68,15 @@ def ks_pairwise(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     right = pairs_df.join(eb, "group_b").select(
         "group_a", "group_b", "v", F.lit(None).cast("double").alias("cdf_a"), "cdf_b"
     )
-    merged = left.unionByName(right)
+    # Collapse to ONE row per (pair, v) before the carry-forward: with
+    # coincident values in both groups the window order within ties is
+    # arbitrary, and a row seeing one side's update but not the other's
+    # produces a spurious |F1-F2| spike.
+    merged = (
+        left.unionByName(right)
+        .groupBy("group_a", "group_b", "v")
+        .agg(F.max("cdf_a").alias("cdf_a"), F.max("cdf_b").alias("cdf_b"))
+    )
     w = (
         Window.partitionBy("group_a", "group_b")
         .orderBy("v")

@@ -117,7 +117,7 @@ def generate_pages(
             text = _text(rng, lang, 4)  # ~20 chars, below min length
             planted.too_short.append(url)
         elif kind == 1:
-            text = _text(rng, lang, 30000)
+            text = _text(rng, lang, 5000)
             planted.too_long.append(url)
         elif kind == 2:
             lang = PLANT_LANGS[i % len(PLANT_LANGS)]
@@ -147,7 +147,7 @@ def generate_pages(
             text = _text(rng, lang, n_words)
             planted.future_ts.append(url)
         elif kind == 8 and i % 200 == 8:
-            text = _text(rng, lang, 120000)  # multi-100kB doc → skew bucket
+            text = _text(rng, lang, 30000)  # ~175 kB doc → skew bucket
             planted.giant.append(url)
         else:
             text = _text(rng, lang, n_words)
@@ -158,22 +158,35 @@ def generate_pages(
     return rows, planted
 
 
-def write_pages_parquet(path: str, n: int = 2000, seed: int = 42) -> PlantedCounts:
+def write_pages_parquet(
+    path: str, n: int = 2000, seed: int = 42, n_files: int = 16
+) -> PlantedCounts:
     """Write the fixture corpus with pyarrow (no Spark needed — usable from
-    plain pytest before a session exists)."""
+    plain pytest before a session exists).
+
+    Written as a DIRECTORY of `n_files` shards (like real crawl dumps —
+    one WARC per file): a single parquet file is one row group, i.e. ONE
+    scan task, which serializes the read side of every downstream job no
+    matter how many cores run it."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rows, planted = generate_pages(n, seed)
-    cols = list(zip(*rows))
-    table = pa.table(
-        {
-            "url": pa.array(cols[0], pa.string()),
-            "warc_ts": pa.array(cols[1], pa.timestamp("us")),
-            "html": pa.array(cols[2], pa.binary()),
-            "text": pa.array(cols[3], pa.string()),
-            "lang": pa.array(cols[4], pa.string()),
-        }
-    )
-    pq.write_table(table, path)
+    os.makedirs(path, exist_ok=True)
+    n_files = max(1, min(n_files, len(rows)))
+    for k in range(n_files):
+        chunk = rows[k::n_files]
+        cols = list(zip(*chunk))
+        table = pa.table(
+            {
+                "url": pa.array(cols[0], pa.string()),
+                "warc_ts": pa.array(cols[1], pa.timestamp("us")),
+                "html": pa.array(cols[2], pa.binary()),
+                "text": pa.array(cols[3], pa.string()),
+                "lang": pa.array(cols[4], pa.string()),
+            }
+        )
+        pq.write_table(table, os.path.join(path, f"part-{k:05d}.parquet"))
     return planted

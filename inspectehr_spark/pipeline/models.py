@@ -35,63 +35,71 @@ for j, lang in enumerate(spec.LANGS):
 
 @pandas_udf(StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
-    """bytes → text per spec.extract_text_py, batched with pandas str ops
-    (byte-identical to the serial labeler by construction)."""
-    s = html.apply(lambda b: b.decode("utf-8", errors="strict"))
-    # find <p>…</p> span
-    i = s.str.find(spec.P_OPEN)
-    out = []
-    for txt, start in zip(s, i):
-        if start < 0:
-            out.append("")
-            continue
-        j = txt.find(spec.P_CLOSE, start + len(spec.P_OPEN))
-        if j < 0:
-            out.append("")
-            continue
-        out.append(txt[start + len(spec.P_OPEN) : j])
-    res = pd.Series(out, index=s.index, dtype="object")
+    """bytes → text per spec.extract_text_py, fully vectorized: C decode,
+    one non-greedy regex extract (first <p> to the first following </p> —
+    identical to the serial find/find), C replace chain. Byte-identical to
+    the serial labeler."""
+    s = html.str.decode("utf-8")
+    res = s.str.extract(r"(?s)<p>(.*?)</p>", expand=False).fillna("")
     for a, b in spec.UNESCAPES:
         res = res.str.replace(a, b, regex=False)
     return res
 
 
+# vocab bigrams as packed codepoint pairs (a << 21 | b — codepoints < 2^21),
+# sorted for searchsorted membership tests.
+_VOCAB_CODES = np.sort(
+    np.array([(ord(b[0]) << 21) | ord(b[1]) for b in _VOCAB], dtype=np.int64)
+)
+_CODE_TO_IDX = {
+    int(c): i
+    for i, c in enumerate(_VOCAB_CODES)
+}
+# weight matrix re-ordered to match the sorted code order
+_W_SORTED = np.zeros_like(_W)
+for _i, _b in enumerate(_VOCAB):
+    _code = (ord(_b[0]) << 21) | ord(_b[1])
+    _W_SORTED[_CODE_TO_IDX[_code], :] = _W[_i, :]
+
+
 @pandas_udf(StringType())
 def langid_udf(text: pd.Series) -> pd.Series:
-    """Char-bigram integer-weight classifier (spec §langid): counts matrix
-    via str.count per vocab bigram (C loops across the batch), int64 matmul,
-    argmax with smaller-code tie-break."""
+    """Char-bigram integer-weight classifier (spec §langid), single-pass:
+    the whole batch is joined with NUL separators and decoded to a uint32
+    codepoint array once (NUL pairs match no vocab bigram); overlapping
+    bigrams become packed int64 codes; vocab membership via binary search;
+    per-(doc, vocab) counts via one bincount; exact int64 matmul; argmax
+    with smaller-code tie-break. O(total_chars · log vocab), no per-row
+    Python, no per-bigram regex scans."""
     n = len(text)
-    counts = np.zeros((n, len(_VOCAB)), dtype=np.int64)
+    if n == 0:
+        return pd.Series([], dtype="object")
     padded = (" " + text.fillna("") + " ")
-    for i, b in enumerate(_VOCAB):
-        # non-overlapping count is fine: profile bigrams are 2 chars and
-        # the serial side uses the same sliding-window definition below.
-        counts[:, i] = _count_overlapping(padded, b)
-    scores = counts @ _W  # (n, L) exact int64
+    joined = "\x00".join(padded.tolist())
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if len(cp) < 2:
+        return pd.Series(["und"] * n, index=text.index)
+    pairs = (cp[:-1] << 21) | cp[1:]
+    # doc id of each pair: pair i starts at char i; doc boundaries from
+    # cumulative padded lengths (+1 for each NUL separator)
+    lens = padded.str.len().to_numpy(dtype=np.int64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])
+    doc_of_pair = np.searchsorted(starts, np.arange(len(pairs)), side="right") - 1
+
+    pos = np.searchsorted(_VOCAB_CODES, pairs)
+    pos_clipped = np.minimum(pos, len(_VOCAB_CODES) - 1)
+    hit = _VOCAB_CODES[pos_clipped] == pairs
+    docs_h = doc_of_pair[hit]
+    vidx_h = pos_clipped[hit]
+    counts = np.bincount(
+        docs_h * len(_VOCAB_CODES) + vidx_h, minlength=n * len(_VOCAB_CODES)
+    ).reshape(n, len(_VOCAB_CODES))
+    scores = counts @ _W_SORTED  # exact int64
     total = counts.sum(axis=1)
-    # argmax returns the FIRST max index; LANGS is sorted → smaller code wins
     best = np.asarray(spec.LANGS)[np.argmax(scores, axis=1)]
     best = np.where(total == 0, "und", best)
     return pd.Series(best, index=text.index)
-
-
-def _count_overlapping(padded: pd.Series, bigram: str) -> np.ndarray:
-    """Overlapping bigram occurrences per row. For 2-char patterns with
-    distinct chars str.count (non-overlapping) equals overlapping count;
-    for doubled chars ('aa') overlapping needs the shifted pass too."""
-    import re as _re
-
-    pat = _re.escape(bigram)
-    base = padded.str.count(pat).to_numpy(dtype=np.int64)
-    if bigram[0] == bigram[1]:
-        # count occurrences starting at odd offsets missed by re.count
-        shifted = padded.str[1:].str.count(pat).to_numpy(dtype=np.int64)
-        # overlapping count of "aa" in runs: total positions = (run_len - 1)
-        # non-overlap count in full = floor(run/2), in shifted = floor((run-1)/2)
-        # sum = run - 1 → exactly the overlapping count.
-        return base + shifted
-    return base
 
 
 @pandas_udf(DoubleType())

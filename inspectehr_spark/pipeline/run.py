@@ -140,13 +140,16 @@ def failure_log(flagged: DataFrame) -> DataFrame:
     ).select("url", "p_date", F.col("f.check_code").alias("check_code"))
 
 
-def decide(flagged: DataFrame) -> DataFrame:
+def decide(flagged: DataFrame, checks: tuple[str, ...] = spec.CHECKS) -> DataFrame:
     """keep = no flag set; first_fail_code = lexicographic min (exactly the
-    anti-join semantics — computed column-wise to avoid re-joining)."""
+    anti-join semantics — computed column-wise to avoid re-joining).
+
+    `checks` subsets the battery — the analog of the reference running only
+    the checks defined for a data class (R/evaluate_events.R:39-87)."""
     fail_codes = F.array(
         *[
             F.when(F.col(f"f_{code}"), F.lit(code))
-            for code in spec.CHECKS
+            for code in checks
         ]
     )
     min_fail = F.array_min(F.filter(fail_codes, lambda x: x.isNotNull()))
@@ -214,8 +217,9 @@ def run_pipeline(
         done = spark.read.parquet(manifest_path).select("p_date").distinct()
         pages = pages.join(F.broadcast(done), "p_date", "left_anti")
 
-    n_parts = pages.select("p_date").distinct().count()
-    if n_parts == 0:
+    # cheap emptiness probe (1 row) instead of an eager full distinct-count
+    # job — the partition count comes from the cached result at the end
+    if not pages.take(1):
         return {"partitions_processed": 0, "rows": 0}
 
     if salt_partitions:
@@ -232,17 +236,24 @@ def run_pipeline(
         log = failure_log(flagged)
         mets = metrics_table(flagged)
 
-        decisions.write.mode("append").partitionBy("p_date").parquet(
-            os.path.join(out_dir, "decisions")
-        )
-        log.write.mode("append").partitionBy("p_date").parquet(
-            os.path.join(out_dir, "failures")
-        )
-        mets.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+        # Cluster by the partition column before the partitioned write:
+        # otherwise every shuffle partition emits a file into every p_date
+        # dir (tasks × dates small files, and a serial commit storm). One
+        # task per date here; at real scale add a salt column sized to the
+        # target file size (e.g. 512 MB) per date.
+        decisions.repartition(F.col("p_date")).write.mode("append").partitionBy(
+            "p_date"
+        ).parquet(os.path.join(out_dir, "decisions"))
+        log.repartition(F.col("p_date")).write.mode("append").partitionBy(
+            "p_date"
+        ).parquet(os.path.join(out_dir, "failures"))
+        mets.coalesce(1).write.mode("append").parquet(os.path.join(out_dir, "metrics"))
         n_rows = flagged.count()
-        flagged.select("p_date").distinct().withColumn(
+        done_parts = flagged.select("p_date").distinct()
+        done_parts.withColumn(
             "completed_at", F.current_timestamp()
         ).write.mode("append").parquet(manifest_path)
+        n_parts = done_parts.count()
     finally:
         flagged.unpersist()
     return {"partitions_processed": n_parts, "rows": n_rows}

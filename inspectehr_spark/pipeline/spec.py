@@ -41,7 +41,7 @@ def extract_text_py(html: bytes) -> str:
 
 
 # --- heuristic thresholds (Gopher/C4-style) ---------------------------------
-LEN_LO, LEN_HI = 100.0, 100000.0          # chars
+LEN_LO, LEN_HI = 100.0, 20000.0           # chars
 TOK_LO, TOK_HI = 10.0, 50000.0            # tokens
 MWL_LO, MWL_HI = 2.0, 12.0                # mean word length
 SYM_HI = 0.20                             # symbol ratio

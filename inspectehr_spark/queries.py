@@ -19,16 +19,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from inspectehr_spark.functions.textfns import ALL_STOPWORDS, STOPWORDS
+from inspectehr_spark.tables import table as _t
 from inspectehr_spark.operators import windows as W
 from inspectehr_spark.operators import missingness as M
 
 # --------------------------------------------------------------------------
 # helpers
 # --------------------------------------------------------------------------
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-
 
 def _sql_stoplist(words: tuple[str, ...]) -> str:
     inner = ", ".join(f"'{w}'" for w in words)
@@ -786,3 +783,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "label_centroid_distance": (q_label_centroid_distance, SQL_LABEL_CENTROID_DISTANCE),
 }
+
+# second batch (checksums, KS, pivots, bounds joins, score zero-fill, …) —
+# imported at the bottom to avoid a circular import with queries_ext.
+from inspectehr_spark.queries_ext import EXT_QUERIES  # noqa: E402
+from inspectehr_spark.queries_noracle import NO_ORACLE_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)
+QUERIES.update(NO_ORACLE_QUERIES)

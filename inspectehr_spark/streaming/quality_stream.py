@@ -1,0 +1,89 @@
+"""Streaming variants of the quality battery.
+
+The reference is a pure batch sweep (SURVEY §2.11) — these exist for the
+ingest-time deployment mode of the same checks: run the row-level battery
+as documents stream in from the crawler, emit failure records and windowed
+per-source metrics continuously.
+
+Design: all row-level checks are stateless projections → identical code
+paths to batch (same rule exprs). Stateful pieces use the engine's
+watermark machinery:
+- windowed metrics: groupBy(window(...)) + watermark for late data;
+- sessionization: session_window (the streaming analog of the batch
+  lag/cumsum sessionizer in operators/windows.py).
+
+Corpus-level dedup (windows over the whole history) stays batch — at
+10^12 docs the dedup index is a join against a compacted snapshot, not
+stream state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inspectehr_spark.rules import Rule
+from inspectehr_spark.operators.checks import run_battery
+
+
+def stream_failure_log(
+    stream: DataFrame,
+    rules: list[Rule],
+    url_col: str = "url",
+    source_col: str = "source",
+) -> DataFrame:
+    """Stateless battery over a streaming DataFrame — run_battery works
+    unchanged because it is a pure projection + explode."""
+    return run_battery(
+        stream, rules, url_col=url_col, doc_id_col="doc_id", source_col=source_col
+    )
+
+
+def windowed_metrics(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    group_col: str = "source",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    fail_col: str = "failed",
+) -> DataFrame:
+    """Per (group, event-time window) n_checked / n_failed with late-data
+    tolerance — the streaming metrics table (append-mode sink)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.col(fail_col).cast("long")).alias("n_failed"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            group_col,
+            "n_checked",
+            "n_failed",
+        )
+    )
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """session_window sessionization — the streaming analog of
+    operators.windows.sessionize (reference characterise_spells,
+    R/characterise_episodes.R:269-285)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), entity_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            entity_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

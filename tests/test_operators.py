@@ -1,0 +1,254 @@
+"""Known-answer unit tests for each operator module, modeled on the
+reference's testthat strategy (exact planted counts, exact schemas —
+SURVEY §5): comparison operators on planted sys/dia-style pairs,
+distribution KS on constructed samples, near-dup detection on constructed
+near-duplicates, code validators on hand-picked literals."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from inspectehr_spark.functions import codes
+from inspectehr_spark.operators import comparison, dedup, distribution, missingness, scoring, windows
+from inspectehr_spark.rules import Rule, parse_range
+from inspectehr_spark.schemas import FAILURE_COLS, make_failure_log
+
+
+# --- rules / parse_range ----------------------------------------------------
+
+def test_parse_range():
+    assert parse_range("[0, 100]") == (0.0, 100.0, True, True)
+    assert parse_range("(0, Inf)") == (0.0, float("inf"), False, False)
+    assert parse_range("[-Inf, 5)") == (float("-inf"), 5.0, True, False)
+    with pytest.raises(ValueError):
+        parse_range("nonsense")
+
+
+# --- comparison (sys > dia analog, exists/not_exists) ------------------------
+
+def test_comparison_operators(spark):
+    sys_bp = spark.createDataFrame(
+        [(1, 120.0), (2, 115.0), (3, 80.0)], "episode_id int, value double"
+    )
+    dia_bp = spark.createDataFrame(
+        [(1, 80.0), (2, 70.0), (3, 95.0), (4, 60.0)], "episode_id int, value double"
+    )
+    # sys > dia: only episode 3 violates (80 < 95); episode 4 has no sys → no verdict
+    viol = comparison.compare_pair(sys_bp, dia_bp, ["episode_id"], ">").collect()
+    assert [r["episode_id"] for r in viol] == [3]
+    # exists: sys present but dia absent → none here
+    assert comparison.compare_pair(sys_bp, dia_bp, ["episode_id"], "exists").count() == 0
+    # reversed: dia 4 exists without sys
+    viol = comparison.compare_pair(dia_bp, sys_bp, ["episode_id"], "exists").collect()
+    assert [r["episode_id"] for r in viol] == [4]
+    # not_exists: both present → all of 1,2,3 violate
+    assert comparison.compare_pair(sys_bp, dia_bp, ["episode_id"], "not_exists").count() == 3
+    with pytest.raises(ValueError):
+        comparison.compare_pair(sys_bp, dia_bp, ["episode_id"], "LIKE")
+
+
+# --- distribution: two-sample KS --------------------------------------------
+
+def test_ks_known_answer(spark):
+    # identical samples → KS 0; disjoint samples → KS 1
+    rows = [("a", float(v)) for v in range(10)] + [("b", float(v)) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ks = distribution.ks_pairwise(df, "g", "v").collect()
+    assert len(ks) == 1 and ks[0]["ks_stat"] == 0.0
+
+    rows = [("a", float(v)) for v in range(10)] + [("b", float(v + 100)) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ks = distribution.ks_pairwise(df, "g", "v").collect()
+    assert ks[0]["ks_stat"] == 1.0
+
+
+def test_ks_distributed_matches_pandas(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [("a", rng.gauss(0, 1)) for _ in range(200)] + [
+        ("b", rng.gauss(0.5, 1)) for _ in range(150)
+    ] + [("c", rng.gauss(0, 2)) for _ in range(100)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    dist = {
+        (r["group_a"], r["group_b"]): r["ks_stat"]
+        for r in distribution.ks_pairwise(df, "g", "v").collect()
+    }
+    pand = {
+        (r["group_a"], r["group_b"]): r["ks_stat"]
+        for r in distribution.ks_pairwise_pandas(df, "g", "v").collect()
+    }
+    assert dist.keys() == pand.keys()
+    for k in dist:
+        assert abs(dist[k] - pand[k]) < 1e-9, (k, dist[k], pand[k])
+
+
+def test_drift_flags(spark):
+    ks = spark.createDataFrame(
+        [("a", "b", 0.1), ("a", "c", 0.7), ("b", "c", 0.8)],
+        "group_a string, group_b string, ks_stat double",
+    )
+    flagged = distribution.drift_flags(ks, threshold=0.5).collect()
+    # c is far from BOTH a and b; a-b are close so neither fails
+    assert [r["group"] for r in flagged] == ["c"]
+
+
+# --- dedup: minhash near-dup on constructed docs ------------------------------
+
+def test_minhash_finds_constructed_near_dups(spark):
+    base = " ".join(f"w{i}" for i in range(200))
+    near = " ".join(f"w{i}" for i in range(195)) + " x1 x2 x3 x4 x5"
+    far = " ".join(f"z{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_duplicates(
+        df, num_hashes=64, bands=16, jaccard_threshold=0.5
+    ).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["doc_id_a"], pairs[0]["doc_id_b"]) == (1, 2)
+    assert pairs[0]["est_jaccard"] >= 0.5
+    # exact verification path agrees
+    jac = dedup.ngram_jaccard_pairs(
+        df, spark.createDataFrame([(1, 2)], "doc_id_a long, doc_id_b long")
+    ).collect()[0]["jaccard"]
+    # shared trigrams: windows fully inside w0..w194 → 193; union = 203
+    assert jac == pytest.approx(193 / 203, abs=1e-6)
+
+
+def test_simhash_close_for_near_dups(spark):
+    base = " ".join(f"w{i}" for i in range(100))
+    near = " ".join(f"w{i}" for i in range(99)) + " different"
+    far = " ".join(f"z{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["sh"] for r in dedup.with_simhash(df, out_col="sh").collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+    assert hamming(out[1], out[2]) <= 8
+
+
+def test_exact_duplicates_keep_first(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other"), (5, "same")],
+        "doc_id long, text string",
+    )
+    dups = sorted(r["doc_id"] for r in dedup.exact_duplicates(df).collect())
+    assert dups == [3, 5]  # doc 1 is first by id
+
+
+# --- windows: periodicity, overlap, sessionize --------------------------------
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_sessionize_and_overlap(spark):
+    rows = [
+        (1, _ts(0)), (1, _ts(0, 10)), (1, _ts(2)),   # gap >30min → 2 sessions
+        (2, _ts(5)),
+    ]
+    df = spark.createDataFrame(rows, "uid int, ts timestamp")
+    s = windows.sessionize(df, "uid", "ts", gap_minutes=30)
+    per_user = {
+        r["uid"]: r["n"]
+        for r in s.groupBy("uid").agg(F.max("session_id").alias("n")).collect()
+    }
+    assert per_user == {1: 2, 2: 1}
+
+    iv = spark.createDataFrame(
+        [(1, _ts(0), _ts(3)), (1, _ts(2), _ts(4)), (1, _ts(5), _ts(6))],
+        "uid int, start timestamp, end timestamp",
+    )
+    ov = windows.overlaps(iv, "uid", "start", "end").collect()
+    assert len(ov) == 1 and ov[0]["start"] == _ts(0)
+
+
+def test_periodicity_flags(spark):
+    rows = [(1, _ts(h)) for h in range(10)] + [(2, _ts(0))]  # 2 has 1 event
+    df = spark.createDataFrame(rows, "uid int, ts timestamp")
+    out = {r["uid"]: r["fail_reason"] for r in windows.periodicity(df, "uid", "ts", 0.5, 12.0).collect()}
+    assert out == {1: "too_dense", 2: "lt2_events"}  # 10 events in 9h ≈ 26.7/day
+
+
+def test_chronology(spark):
+    rows = [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 15.0), (2, 1, 5.0)]
+    df = spark.createDataFrame(rows, "uid int, ord int, value double")
+    bad = windows.chronology_violations(df, "uid", "ord", "value").collect()
+    assert len(bad) == 1 and bad[0]["ord"] == 2
+
+
+# --- missingness ---------------------------------------------------------------
+
+def test_global_and_local_missingness(spark):
+    rows = [
+        ("s1", "a", dt.datetime(2024, 1, 15)),
+        ("s1", "a", dt.datetime(2024, 3, 15)),   # s1 skips February
+        ("s2", "a", dt.datetime(2024, 1, 20)),
+        ("s2", "b", dt.datetime(2024, 1, 25)),
+    ]
+    df = spark.createDataFrame(rows, "site string, code string, ts timestamp")
+    missing = missingness.global_missingness(df, "site", "code").collect()
+    assert [(r["site"], r["code"]) for r in missing] == [("s1", "b")]
+    local = missingness.local_missingness(df, "site", "ts").collect()
+    assert [(r["site"], str(r["month_start"])) for r in local] == [("s1", "2024-02-01")]
+
+
+# --- scoring / failure-log schema ----------------------------------------------
+
+def test_failure_log_schema_contract(spark):
+    df = spark.createDataFrame(
+        [("s", "u", 1, 99.0)], "source string, url string, doc_id long, value double"
+    )
+    log = make_failure_log(df, "chk", "VE_X", "desc")
+    assert log.columns == FAILURE_COLS
+    row = log.collect()[0]
+    assert row["value"] == "99.0" and row["check_code"] == "chk"
+
+
+def test_scoring_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(i, "s1" if i < 6 else "s2") for i in range(10)], "doc_id long, source string"
+    )
+    fails = spark.createDataFrame(
+        [(0, "b_chk"), (0, "a_chk"), (7, "z_chk")], "doc_id long, check_code string"
+    )
+    dec = {r["doc_id"]: (r["keep"], r["first_fail_code"]) for r in scoring.decisions(docs, fails).collect()}
+    assert dec[0] == (False, "a_chk")  # lexicographic min, deterministic
+    assert dec[7] == (False, "z_chk")
+    assert dec[1] == (True, None)
+    sc = {r["source"]: (r["n_submitted"], r["n_failed"], r["score"]) for r in scoring.score(docs, fails, ["source"]).collect()}
+    assert sc["s1"] == (6, 1, pytest.approx(1 - 1 / 6, abs=1e-6))
+    assert sc["s2"] == (4, 1, 0.75)
+
+
+# --- code validators --------------------------------------------------------------
+
+def test_code_validators(spark):
+    df = spark.createDataFrame(
+        [(codes.gen_valid_nhs_numbers(1)[0],), ("1234567890",), ("SW1A 1AA",),
+         ("1.5.9",), ("2.12.13.54.17",), ("3.5.9",), ("1.13.9",), ("ZZ99 9ZZ",)],
+        "v string",
+    )
+    out = df.select(
+        "v",
+        codes.nhs_checksum_valid(F.col("v")).alias("nhs"),
+        codes.is_postcode(F.col("v")).alias("pc"),
+        codes.icnarc_valid(F.col("v")).alias("icnarc"),
+    ).collect()
+    by_v = {r["v"]: r for r in out}
+    assert by_v[codes.gen_valid_nhs_numbers(1)[0]]["nhs"] is True
+    assert by_v["1234567890"]["nhs"] is False
+    assert by_v["SW1A 1AA"]["pc"] is True
+    assert by_v["ZZ99 9ZZ"]["pc"] is True
+    assert by_v["1.5.9"]["icnarc"] is True
+    assert by_v["2.12.13.54.17"]["icnarc"] is True
+    assert by_v["3.5.9"]["icnarc"] is False       # level1 ∉ [1,2]
+    assert by_v["1.13.9"]["icnarc"] is False      # level2 ∉ [1,12]

@@ -1,0 +1,67 @@
+"""Plan-quality gates: predicate pushdown, column pruning, broadcast
+joins, shuffle budgets — asserted on the live registry queries so a
+regression in plan shape fails CI, not just a benchmark."""
+
+from __future__ import annotations
+
+from inspectehr_spark.plans import inspect
+from inspectehr_spark.queries import QUERIES
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    fn, _ = QUERIES["doc_length_fail"]
+    df = fn(spark, sf_dir)
+    pushed = inspect.pushed_filters(df)
+    # the OR-of-range predicate is pushed to the parquet reader
+    assert any("n_chars" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    fn, _ = QUERIES["doc_length_fail"]
+    df = fn(spark, sf_dir)
+    schemas = inspect.read_schemas(df)
+    assert schemas, "no scan found"
+    # text (the widest column) must NOT be read for this 3-column query
+    assert all("text" not in s for s in schemas), schemas
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    fn, _ = QUERIES["nation_revenue"]
+    df = fn(spark, sf_dir)
+    assert inspect.has_broadcast_join(df)
+    assert not inspect.has_cartesian(df)
+    # orders → partial agg → final agg: at most the agg exchange, never a
+    # shuffle of the fact table for the dim joins
+    assert inspect.exchange_count(df) <= 1, inspect.formatted_plan(df)
+
+
+def test_anti_join_no_cartesian(spark, sf_dir):
+    fn, _ = QUERIES["customers_no_orders"]
+    df = fn(spark, sf_dir)
+    assert not inspect.has_cartesian(df)
+
+
+def test_single_pass_battery_no_shuffle(spark, sf_dir):
+    """The multi-rule failure log is a pure scan+project+explode — zero
+    shuffles (the reference needed one pass per rule)."""
+    fn, _ = QUERIES["failure_log"]
+    df = fn(spark, sf_dir)
+    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+
+
+def test_window_chain_reuses_shuffle(spark, sf_dir):
+    """Sessionize + per-session agg partition by the same key → exactly
+    one hash exchange on user_id."""
+    fn, _ = QUERIES["spell_durations"]
+    df = fn(spark, sf_dir)
+    n = inspect.exchange_count(df)
+    assert n <= 2, inspect.formatted_plan(df)
+
+
+def test_keep_drop_two_exchanges_max(spark, sf_dir):
+    """Decision join: failure-log agg (1 exchange on doc_id) + join against
+    the universe — AQE may broadcast the agg side, never more than the agg
+    exchange + one join exchange."""
+    fn, _ = QUERIES["keep_drop"]
+    df = fn(spark, sf_dir)
+    assert inspect.exchange_count(df) <= 3, inspect.formatted_plan(df)

@@ -1,0 +1,109 @@
+"""Structured Streaming battery: file-source stream → stateless checks,
+windowed metrics with watermark, session_window sessionization — verified
+against the equivalent batch results on the same data."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from inspectehr_spark.rules import Rule
+from inspectehr_spark.streaming.quality_stream import (
+    stream_failure_log,
+    stream_sessionize,
+    windowed_metrics,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    rows = []
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+    for i in range(200):
+        rows.append(
+            (
+                f"https://s{i % 4}.example/{i}",
+                i,
+                f"s{i % 4}",
+                base + dt.timedelta(minutes=7 * i),
+                120 + (i * 13) % 300 if i % 10 else 5,  # every 10th too short
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "url string, doc_id long, source string, warc_ts timestamp, n_chars long"
+    )
+    df.coalesce(2).write.parquet(str(d / "batch1"))
+    return str(d / "batch1"), df
+
+
+def _run_stream(spark, stream_df, out_name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(out_name)
+
+
+def test_stream_battery_matches_batch(spark, stream_dir):
+    path, batch_df = stream_dir
+    schema = batch_df.schema
+    rules = [Rule("doc_length", "VE_VC_03", "len", column="n_chars", lo=100, hi=100000)]
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    log = stream_failure_log(stream, rules)
+    got = _run_stream(spark, log, "t_stream_log", "append")
+    from inspectehr_spark.operators.checks import run_battery
+
+    expected = run_battery(batch_df, rules)
+    assert sorted(r["url"] for r in got.collect()) == sorted(
+        r["url"] for r in expected.collect()
+    )
+    assert got.count() == 20  # every 10th of 200
+
+
+def test_windowed_metrics_stream(spark, stream_dir):
+    path, batch_df = stream_dir
+    schema = batch_df.schema
+    stream = spark.readStream.schema(schema).parquet(path).withColumn(
+        "failed", F.col("n_chars") < 100
+    )
+    mets = windowed_metrics(stream, ts_col="warc_ts", group_col="source", window="6 hours")
+    # append mode would hold back windows the watermark has not passed
+    got = _run_stream(spark, mets, "t_stream_mets", "complete")
+    rows = got.collect()
+    assert sum(r["n_checked"] for r in rows) == 200
+    assert sum(r["n_failed"] for r in rows) == 20
+    # batch equivalence
+    b = (
+        batch_df.withColumn("failed", F.col("n_chars") < 100)
+        .groupBy(F.window("warc_ts", "6 hours"), "source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("failed").cast("long")).alias("f"))
+    )
+    assert len(rows) == b.count()
+
+
+def test_stream_sessionize(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sess_src")
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        (1, base), (1, base + dt.timedelta(minutes=10)),          # session 1
+        (1, base + dt.timedelta(hours=3)),                        # session 2
+        (2, base + dt.timedelta(minutes=5)),                      # session 3
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    df.write.parquet(str(d / "b"))
+    stream = spark.readStream.schema(df.schema).parquet(str(d / "b"))
+    sess = stream_sessionize(stream, gap="30 minutes")
+    got = _run_stream(spark, sess, "t_stream_sess", "complete")
+    rows = sorted(
+        (r["user_id"], r["n_events"]) for r in got.collect()
+    )
+    assert rows == [(1, 1), (1, 2), (2, 1)]
