@@ -53,7 +53,7 @@ def periodicity(
     agg = df.groupBy(entity_col).agg(
         F.count(F.lit(1)).alias("n_events"),
         (
-            (F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col)))
+            (F.unix_timestamp(F.max(ts_col).cast("timestamp")) - F.unix_timestamp(F.min(ts_col).cast("timestamp")))
             / 3600.0
         ).alias("span_hours"),
     )
@@ -78,7 +78,7 @@ def max_gap(df: DataFrame, entity_col: str, ts_col: str) -> DataFrame:
     core, reference R/evaluate_periodicity.R:70-80)."""
     w = Window.partitionBy(entity_col).orderBy(ts_col)
     gap = (
-        F.unix_timestamp(F.lead(ts_col).over(w)) - F.unix_timestamp(F.col(ts_col))
+        F.unix_timestamp(F.lead(ts_col).over(w).cast("timestamp")) - F.unix_timestamp(F.col(ts_col).cast("timestamp"))
     ) / 3600.0
     return (
         df.withColumn("_gap", gap)
@@ -143,7 +143,7 @@ def sessionize(
     prev_ts = F.lag(ts_col).over(w)
     new_sess = F.when(
         prev_ts.isNull()
-        | (F.unix_timestamp(ts_col) - F.unix_timestamp(prev_ts) > gap_minutes * 60),
+        | (F.unix_timestamp(F.col(ts_col).cast("timestamp")) - F.unix_timestamp(prev_ts.cast("timestamp")) > gap_minutes * 60),
         1,
     ).otherwise(0)
     cum = Window.partitionBy(entity_col).orderBy(ts_col).rowsBetween(

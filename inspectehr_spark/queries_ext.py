@@ -613,3 +613,106 @@ EXT_QUERIES = {
     "spell_durations": (q_spell_durations, SQL_SPELL_DURATIONS),
     "combine_union": (q_combine_union, SQL_COMBINE_UNION),
 }
+
+
+# --------------------------------------------------------------------------
+# batch 3: model scoring, metadata presence, failure tally
+# --------------------------------------------------------------------------
+
+def q_logistic_score(spark, sf_dir):
+    """Linear-model batch scoring (the reference's analyze_bg,
+    R/analyse_bg.R:15-34: design matrix × β → inv_logit → threshold →
+    label) over the embeddings table — pure column arithmetic, the pattern
+    a fastText/KenLM linear head compiles to when the model is small."""
+    emb = _t(spark, sf_dir, "embeddings")
+    demb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    staged = emb.select("vec_id", "label", demb.alias("_v"))
+    # fixed public weights: w_i = ((i*37) % 21 - 10) / 10, bias 0.05
+    w = F.array(*[F.lit(((i * 37) % 21 - 10) / 10.0) for i in range(64)])
+    staged = staged.withColumn("_w", w)
+    z = F.aggregate(
+        F.zip_with("_v", "_w", lambda a, b: a * b), F.lit(0.05),
+        lambda acc, x: acc + x,
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    return staged.select(
+        "vec_id",
+        F.round(p, 6).alias("prob"),
+        (p > 0.589).alias("pred_label"),
+    )
+
+
+SQL_LOGISTIC_SCORE = """
+WITH w AS (
+  SELECT [((i * 37) % 21 - 10) / 10.0 FOR i IN range(64)] AS wv
+),
+s AS (
+  SELECT vec_id,
+         0.05 + list_dot_product(embedding::DOUBLE[], w.wv) AS z
+  FROM embeddings, w
+)
+SELECT vec_id,
+       ROUND(1.0 / (1.0 + EXP(-z)), 6) AS prob,
+       (1.0 / (1.0 + EXP(-z))) > 0.589 AS pred_label
+FROM s
+"""
+
+
+def q_metadata_missing(spark, sf_dir):
+    """Metadata-presence check (reference evaluate_metadata,
+    R/evaluate_metadata.R:14-35): derived meta columns, fail when ANY is
+    NULL."""
+    from inspectehr_spark.operators.checks import metadata_violation
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 != 0, F.col("props")).alias("meta_1"),
+        F.when(F.col("event_id") % 11 != 0, F.col("event_type")).alias("meta_2"),
+    )
+    return d.filter(metadata_violation(["meta_1", "meta_2"])).select(
+        "event_id", F.lit("VE_CP_05").alias("eval_code")
+    )
+
+
+SQL_METADATA_MISSING = """
+WITH d AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 != 0 THEN props END AS meta_1,
+         CASE WHEN event_id % 11 != 0 THEN event_type END AS meta_2
+  FROM events
+)
+SELECT event_id, 'VE_CP_05' AS eval_code
+FROM d WHERE meta_1 IS NULL OR meta_2 IS NULL
+"""
+
+
+def q_failure_tally(spark, sf_dir):
+    """Failure-reason tally (reference episode_varacity,
+    R/characterise_episodes.R:493-499) over the shared failure log."""
+    from inspectehr_spark.queries import _doc_failures
+
+    return (
+        _doc_failures(spark, sf_dir)
+        .groupBy("check_code", "eval_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_FAILURE_TALLY = """
+WITH failures AS (
+  SELECT doc_id, 'doc_length' AS check_code, 'VE_VC_03' AS eval_code
+  FROM documents WHERE n_chars < 100 OR n_chars > 500
+  UNION ALL
+  SELECT doc_id, 'lang_allowed', 'VE_VC_04'
+  FROM documents WHERE lang NOT IN ('de', 'en', 'es', 'fr')
+)
+SELECT check_code, eval_code, COUNT(*) AS n FROM failures GROUP BY 1, 2
+"""
+
+
+EXT_QUERIES.update({
+    "logistic_score": (q_logistic_score, SQL_LOGISTIC_SCORE),
+    "metadata_missing": (q_metadata_missing, SQL_METADATA_MISSING),
+    "failure_tally": (q_failure_tally, SQL_FAILURE_TALLY),
+})
