@@ -249,11 +249,17 @@ def run_pipeline(
         ).parquet(os.path.join(out_dir, "failures"))
         mets.coalesce(1).write.mode("append").parquet(os.path.join(out_dir, "metrics"))
         n_rows = flagged.count()
-        done_parts = flagged.select("p_date").distinct()
-        done_parts.withColumn(
-            "completed_at", F.current_timestamp()
-        ).write.mode("append").parquet(manifest_path)
-        n_parts = done_parts.count()
+        # Collect the processed-partition ids BEFORE appending the manifest:
+        # flagged's lineage contains the resume anti-join against the
+        # manifest, so any recomputation after the append would see its own
+        # output and report zero partitions (observed with a cold cache).
+        done = [r[0] for r in flagged.select("p_date").distinct().collect()]
+        spark.createDataFrame(
+            [(p,) for p in done], "p_date string"
+        ).withColumn("completed_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(manifest_path)
+        n_parts = len(done)
     finally:
         flagged.unpersist()
     return {"partitions_processed": n_parts, "rows": n_rows}
