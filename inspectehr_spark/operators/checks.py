@@ -67,14 +67,51 @@ def metadata_violation(meta_cols: list[str]) -> Column:
     return cond
 
 
+def cross_column_violation(col: Column, rule: Rule) -> Column:
+    """TRUE iff the two columns disagree; either side NULL → no verdict.
+    (The langid-vs-declared-lang check; reference analog is the
+    co-existence/equality branch of evaluate_comparison,
+    R/evaluate_comparison.R:86-99, applied within one row.)"""
+    return col != F.col(rule.not_equals_column)
+
+
+def flag_violation(col: Column) -> Column:
+    """The column IS the verdict (precomputed boolean, e.g. is_duplicate)."""
+    return col.isNotNull() & col
+
+
+def ts_bounds_violation(col: Column, rule: Rule) -> Column:
+    """TRUE iff timestamp outside [ts_lo, ts_hi]; NULL → no verdict.
+    Reference: evaluate_range.date/datetime_1d, R/evaluate_ranges.R:282-367."""
+    c = col.cast("timestamp")
+    lo = F.lit(rule.ts_lo).cast("timestamp") if rule.ts_lo else F.lit("1900-01-01").cast("timestamp")
+    hi = F.lit(rule.ts_hi).cast("timestamp") if rule.ts_hi else F.current_timestamp()
+    return c.isNotNull() & ~c.between(lo, hi)
+
+
 def violation_for(rule: Rule) -> Column:
     """Dispatch a Rule to its predicate — the Python-dict analog of the
-    reference's S3 method dispatch (R/evaluate_events.R:39-87)."""
+    reference's S3 method dispatch (R/evaluate_events.R:39-87).
+
+    Raises on rules this module cannot express rather than silently
+    compiling a never-true predicate (a rule with no interval, set, pattern,
+    cross-column or flag spec would otherwise degrade to ±inf bounds)."""
     col = F.col(rule.column)
     if rule.possible_values:
         return set_violation(col, rule)
     if rule.pattern:
         return pattern_violation(col, rule)
+    if rule.not_equals_column:
+        return cross_column_violation(col, rule)
+    if rule.flag:
+        return flag_violation(col)
+    if rule.ts_lo or rule.ts_hi:
+        return ts_bounds_violation(col, rule)
+    if math.isinf(rule.lo) and math.isinf(rule.hi):
+        raise ValueError(
+            f"rule {rule.check_code!r} has no expressible predicate "
+            "(no bounds, set, pattern, cross-column or flag)"
+        )
     return range_violation(col, rule)
 
 
@@ -105,7 +142,7 @@ def run_battery(
     no repeated scan.
     """
     cols = set(df.columns)
-    present = [r for r in rules if r.column in cols]
+    present = [r for r in rules if all(c in cols for c in r.required_columns())]
 
     flag_structs = [
         F.when(

@@ -40,7 +40,17 @@ def parse_range(ranges: str) -> tuple[float, float, bool, bool]:
 
 @dataclass(frozen=True)
 class Rule:
-    """One row of the rules table (qref analog, reference R/datasets.R:5-25)."""
+    """One row of the rules table (qref analog, reference R/datasets.R:5-25).
+
+    Exactly one violation kind per rule, dispatched by
+    `operators.checks.violation_for`:
+    - numeric interval (lo/hi) — evaluate_range numeric
+    - possible_values set — evaluate_range string-set
+    - pattern regex — evaluate_post_code-style conformance
+    - ts_lo/ts_hi timestamp bounds — evaluate_range date/datetime_1d
+    - not_equals_column — cross-column disagreement (langid vs declared lang)
+    - flag — the column itself is the boolean verdict (e.g. is_duplicate)
+    """
 
     check_code: str
     eval_code: str
@@ -52,8 +62,17 @@ class Rule:
     hi_incl: bool = True
     possible_values: tuple[str, ...] = field(default_factory=tuple)
     pattern: str = ""          # regex-conformance checks
+    not_equals_column: str = ""  # cross-column rule: fail iff column != other
+    flag: bool = False           # boolean column: fail iff column is TRUE
+    ts_lo: str = ""              # timestamp bounds rule ("YYYY-MM-DD HH:MM:SS")
+    ts_hi: str = ""
     periodicity_lo: float = -math.inf
     periodicity_hi: float = math.inf
+
+    def required_columns(self) -> tuple[str, ...]:
+        if self.not_equals_column:
+            return (self.column, self.not_equals_column)
+        return (self.column,)
 
     @classmethod
     def from_range_string(cls, check_code, eval_code, description, ranges, **kw):
@@ -73,6 +92,10 @@ RULES_SCHEMA = StructType([
     StructField("hi_incl", BooleanType()),
     StructField("possible_values", ArrayType(StringType())),
     StructField("pattern", StringType()),
+    StructField("not_equals_column", StringType()),
+    StructField("flag", BooleanType()),
+    StructField("ts_lo", StringType()),
+    StructField("ts_hi", StringType()),
     StructField("periodicity_lo", DoubleType()),
     StructField("periodicity_hi", DoubleType()),
 ])
@@ -86,6 +109,7 @@ def rules_df(spark: SparkSession, rules: list[Rule]):
             r.check_code, r.eval_code, r.description, r.column,
             float(r.lo), float(r.hi), r.lo_incl, r.hi_incl,
             list(r.possible_values), r.pattern,
+            r.not_equals_column, r.flag, r.ts_lo, r.ts_hi,
             float(r.periodicity_lo), float(r.periodicity_hi),
         )
         for r in rules
@@ -96,35 +120,43 @@ def rules_df(spark: SparkSession, rules: list[Rule]):
 # ---------------------------------------------------------------------------
 # Default web-text rule battery (Gopher/C4-style heuristics recast from the
 # reference's evaluate_range battery, R/evaluate_ranges.R).
+#
+# SINGLE SOURCE OF TRUTH: every threshold is imported from pipeline/spec.py —
+# the same constants the batch pipeline (pipeline/run.py failure_flags) and
+# the serial reference labeler implement. run_battery(WEB_RULES) over the
+# enriched frame is asserted identical to failure_flags in
+# tests/test_pipeline.py::test_battery_matches_failure_flags.
 # ---------------------------------------------------------------------------
 
-ALLOWED_LANGS = ("en", "de", "fr", "es")
+from inspectehr_spark.pipeline import spec as _spec
+
+ALLOWED_LANGS = _spec.ALLOWED_LANGS
 
 WEB_RULES: list[Rule] = [
-    Rule.from_range_string(
+    Rule(
         "doc_length", "VE_VC_03",
         "document length (chars) outside allowed interval",
-        "[100, 100000]", column="n_chars"),
-    Rule.from_range_string(
+        column="n_chars", lo=_spec.LEN_LO, hi=_spec.LEN_HI),
+    Rule(
         "word_count", "VE_VC_03",
         "token count outside allowed interval",
-        "[10, 50000]", column="n_tokens"),
-    Rule.from_range_string(
+        column="n_tokens", lo=_spec.TOK_LO, hi=_spec.TOK_HI),
+    Rule(
         "mean_word_length", "VE_VC_03",
-        "mean word length outside [2, 12] (Gopher)",
-        "[2, 12]", column="mean_word_len"),
-    Rule.from_range_string(
+        "mean word length outside Gopher bounds",
+        column="mean_word_len", lo=_spec.MWL_LO, hi=_spec.MWL_HI),
+    Rule(
         "symbol_ratio", "VE_VC_03",
-        "symbol-to-character ratio above 0.20",
-        "[0, 0.2]", column="symbol_ratio"),
-    Rule.from_range_string(
+        "symbol-to-character ratio above threshold",
+        column="symbol_ratio", lo=0.0, hi=_spec.SYM_HI),
+    Rule(
         "stopword_ratio", "VE_VC_03",
-        "stopword density below 0.02",
-        "[0.02, 1]", column="stopword_ratio"),
-    Rule.from_range_string(
+        "stopword density below threshold",
+        column="stopword_ratio", lo=_spec.SW_LO, hi=1.0),
+    Rule(
         "dup_ngram_frac", "VE_UP_02",
-        "fraction of duplicated 3-grams above 0.30",
-        "[0, 0.3]", column="dup_ngram_frac"),
+        "fraction of duplicated 3-grams above threshold",
+        column="dup_ngram_frac", lo=0.0, hi=_spec.DUPNG_HI),
     Rule(
         "lang_allowed", "VE_VC_04",
         "language not in allowed set",
@@ -132,9 +164,19 @@ WEB_RULES: list[Rule] = [
     Rule(
         "langid_agree", "VA_AP_02",
         "model language id disagrees with declared lang",
-        column="lang_pred"),
-    Rule.from_range_string(
+        column="lang_pred", not_equals_column="lang"),
+    Rule(
         "perplexity", "VA_AP_03",
         "LM perplexity above threshold (low-quality text)",
-        "[0, 1500]", column="perplexity"),
+        column="perplexity", lo=0.0, hi=_spec.PPL_HI),
+    Rule(
+        "warc_ts_bounds", "VE_VC_05",
+        "crawl timestamp outside plausible window",
+        column="warc_ts",
+        ts_lo=_spec.TS_LO_ISO.replace("T", " "),
+        ts_hi=_spec.TS_HI_ISO.replace("T", " ")),
+    Rule(
+        "exact_duplicate", "VE_UP_01",
+        "exact duplicate of an earlier document",
+        column="is_duplicate", flag=True),
 ]
