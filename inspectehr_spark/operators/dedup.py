@@ -24,9 +24,16 @@ def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """All but the first doc per identical text (keep-first by lowest id —
-    explicit stable ordering). The window keys on (hash, text): the 64-bit
-    hash prunes the sort space, the text guards collisions."""
-    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)).orderBy(
+    explicit stable ordering).
+
+    The window keys on a PAIR of independently-seeded 64-bit hashes — a
+    128-bit composite — so the shuffle carries 16 bytes of key instead of
+    the full document text (the text still rides in the row payload, but
+    never in the partitioning/sort key; VERDICT r1 #3). At 10^12 docs the
+    birthday bound on a 128-bit key is ~1e-15 — equality verification
+    within-group would cost a full-text sort for no measurable gain."""
+    key = F.col(text_col)
+    w = Window.partitionBy(F.xxhash64(key), F.xxhash64(key, F.lit(1))).orderBy(
         F.col(id_col).asc()
     )
     return (
@@ -163,28 +170,50 @@ def with_simhash(
     out_col: str = "simhash",
     bits: int = 64,
 ) -> DataFrame:
-    """Add a 64-bit SimHash over word tokens, pure SQL: per bit, majority
-    vote of ±1 across token hashes; staged token/hash columns."""
+    """Add a 64-bit SimHash over word tokens, pure SQL, in ONE aggregate
+    pass: the accumulator is an array<int>(bits) of per-bit ±1 vote tallies
+    updated via zip_with, then the bit votes fold into the fingerprint long.
+
+    Round-1 shape evaluated `bits` independent aggregates (O(bits·n_tokens)
+    array traversals per row and a 64-term codegen giant — the slowest
+    bench query); this traverses the token hashes once (VERDICT r1 #5).
+    Fingerprints are bit-identical to the old formulation (majority vote
+    ties → bit 0, null/empty token lists → 0)."""
     staged = df.withColumn("_toks", F.split(F.col(text_col), r"\s+")).withColumn(
         "_th", F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
     )
-    hashes = F.col("_th")
+    bit_positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        F.col("_th"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_positions,
+                lambda b: F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    staged = staged.withColumn("_votes", votes)
 
-    def vote_for(b: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    def signed_pow2(b: int) -> int:
+        v = 1 << b
+        return v - (1 << 64) if v >= (1 << 63) else v
 
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        # shiftleft handles bit 63 (2**63 overflows a long literal)
-        out = out + F.when(
-            vote_for(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return staged.withColumn(out_col, out).drop("_toks", "_th")
+    pow2 = F.array(*[F.lit(signed_pow2(b)).cast("long") for b in range(bits)])
+    fp = F.aggregate(
+        F.zip_with(
+            F.col("_votes"),
+            pow2,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return staged.withColumn(
+        out_col, F.coalesce(fp, F.lit(0).cast("long"))
+    ).drop("_toks", "_th", "_votes")
 
 
 def ngram_jaccard_pairs(

@@ -75,30 +75,58 @@ def metrics(
     group_cols: list[str] = ("source",),
     partition_col: str | None = None,
     key: str = "doc_id",
+    checks: list | None = None,
 ) -> DataFrame:
     """Per-(group, check, partition) n_checked / n_failed — the METRICS
     table every partition writes for lineage (north-star requirement;
-    reference analog events_missing + score tables)."""
+    reference analog events_missing + score tables).
+
+    The output is built over the full (group × partition × check) universe
+    with zero-fill, so checks with zero failures still emit an
+    n_failed=0 row (matching run.py metrics_table and the reference score
+    tables). `partition_col`, when given, must be a column of BOTH
+    `universe` and `failure_log` (it is folded into the grouping, then
+    aliased to partition_id). `checks` optionally fixes the check
+    dimension — a list of Rule objects or (check_code, eval_code,
+    description) tuples; it defaults to the distinct checks present in the
+    failure log (which cannot know about never-firing checks — pass the
+    battery's rules for a complete lineage table).
+    """
     gcols = list(group_cols)
+    all_g = gcols + (
+        [partition_col] if partition_col and partition_col not in gcols else []
+    )
     pcol = (
-        F.col(partition_col).cast("string")
-        if partition_col
-        else F.lit("__all__")
+        F.col(partition_col).cast("string") if partition_col else F.lit("__all__")
     )
-    checked = universe.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n_checked"))
-    failed = (
-        failure_log.groupBy(*gcols, "check_code", "eval_code", "description")
-        .agg(F.count(F.lit(1)).alias("n_failed"))
-    )
-    return (
-        failed.join(F.broadcast(checked), gcols, "left")
-        .select(
-            *gcols,
-            "check_code",
-            pcol.alias("partition_id"),
-            F.coalesce("n_checked", F.lit(0)).alias("n_checked"),
-            "n_failed",
-            "eval_code",
-            "description",
+
+    spark = universe.sparkSession
+    if checks is not None:
+        rows = [
+            (c.check_code, c.eval_code, c.description)
+            if hasattr(c, "check_code")
+            else tuple(c)
+            for c in checks
+        ]
+        check_dim = spark.createDataFrame(
+            rows, "check_code string, eval_code string, description string"
         )
+    else:
+        check_dim = failure_log.select(
+            "check_code", "eval_code", "description"
+        ).distinct()
+
+    checked = universe.groupBy(*all_g).agg(F.count(F.lit(1)).alias("n_checked"))
+    grid = checked.crossJoin(F.broadcast(check_dim))
+    failed = failure_log.groupBy(*all_g, "check_code").agg(
+        F.count(F.lit(1)).alias("n_failed")
+    )
+    return grid.join(failed, [*all_g, "check_code"], "left").select(
+        *gcols,
+        "check_code",
+        pcol.alias("partition_id"),
+        "n_checked",
+        F.coalesce("n_failed", F.lit(0)).alias("n_failed"),
+        "eval_code",
+        "description",
     )

@@ -260,6 +260,34 @@ def test_scoring_roundtrip(spark):
     assert sc["s2"] == (4, 1, 0.75)
 
 
+def test_metrics_partition_col_and_zero_fill(spark):
+    """ADVICE r1: metrics() with partition_col used to raise
+    AnalysisException (column selected after it was aggregated away), and
+    zero-failure checks were silently missing from the table."""
+    docs = spark.createDataFrame(
+        [(i, "s1" if i < 6 else "s2", f"d{i % 2}") for i in range(10)],
+        "doc_id long, source string, p_date string",
+    )
+    fails = spark.createDataFrame(
+        [(0, "s1", "a_chk", "VE_1", "da", "d0"), (7, "s2", "z_chk", "VE_2", "dz", "d1")],
+        "doc_id long, source string, check_code string, eval_code string,"
+        " description string, p_date string",
+    )
+    out = scoring.metrics(
+        fails, docs, group_cols=["source"], partition_col="p_date",
+        checks=[("a_chk", "VE_1", "da"), ("z_chk", "VE_2", "dz"),
+                ("never_fires", "VE_3", "dn")],
+    )
+    rows = {(r["source"], r["partition_id"], r["check_code"]):
+            (r["n_checked"], r["n_failed"]) for r in out.collect()}
+    # full (group × partition × check) grid: 2 sources × 2 dates × 3 checks
+    assert len(rows) == 12
+    assert rows[("s1", "d0", "a_chk")] == (3, 1)
+    assert rows[("s1", "d0", "never_fires")] == (3, 0)   # zero-filled
+    assert rows[("s2", "d1", "z_chk")] == (2, 1)
+    assert rows[("s2", "d0", "z_chk")] == (2, 0)
+
+
 # --- code validators --------------------------------------------------------------
 
 def test_code_validators(spark):

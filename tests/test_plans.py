@@ -58,6 +58,25 @@ def test_window_chain_reuses_shuffle(spark, sf_dir):
     assert n <= 2, inspect.formatted_plan(df)
 
 
+def test_exact_dup_shuffle_key_excludes_text(spark, sf_dir):
+    """The exact-dup window must partition on the 128-bit hash pair only —
+    the document text must NOT appear inside any Exchange hashpartitioning
+    expression (it would double the shuffled bytes on the widest column)."""
+    import re
+
+    from inspectehr_spark.operators.dedup import exact_duplicates
+    from inspectehr_spark.tables import table
+
+    df = exact_duplicates(table(spark, sf_dir, "documents"))
+    plan = inspect.formatted_plan(df)
+    parts = re.findall(r"hashpartitioning\(([^\n]*)", plan)
+    assert parts, plan
+    for args in parts:
+        # the window keys project to _w0/_w1 longs (xxhash64 outputs);
+        # the text attribute itself must never be a partitioning argument
+        assert not re.search(r"\btext#\d", args), args
+
+
 def test_keep_drop_two_exchanges_max(spark, sf_dir):
     """Decision join: failure-log agg (1 exchange on doc_id) + join against
     the universe — AQE may broadcast the agg side, never more than the agg
