@@ -787,7 +787,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # second batch (checksums, KS, pivots, bounds joins, score zero-fill, …) —
 # imported at the bottom to avoid a circular import with queries_ext.
 from inspectehr_spark.queries_ext import EXT_QUERIES  # noqa: E402
+from inspectehr_spark.queries_episodes import EPISODE_QUERIES  # noqa: E402
 from inspectehr_spark.queries_noracle import NO_ORACLE_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
+QUERIES.update(EPISODE_QUERIES)
 QUERIES.update(NO_ORACLE_QUERIES)
