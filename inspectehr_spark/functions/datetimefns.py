@@ -27,6 +27,18 @@ def resolve_date_time(date_col, time_col) -> Column:
     return F.when(d.isNotNull() & t.isNotNull(), merge_datetime(d, t))
 
 
+def seconds_of_day(ts_col) -> Column:
+    """Seconds since midnight (int). The repo's time-of-day convention
+    (SURVEY §1.3): R's hms type has no Spark analog, so `time_1d` values
+    travel as seconds-of-day ints — range rules (evaluate_range.time_1d,
+    reference R/evaluate_ranges.R:315-334) and time-of-day distribution
+    checks (R/evaluate_distribution.R:163-221) operate on this column."""
+    c = _c(ts_col)
+    return (
+        F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)
+    ).cast("int")
+
+
 def week_of_month(ts_col) -> Column:
     """ceil(dayofmonth/7) — the reference's week-of-month stratum
     (R/characterise_episodes.R:303-308)."""

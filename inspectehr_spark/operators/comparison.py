@@ -10,6 +10,9 @@ death date and death time must co-exist).
 from __future__ import annotations
 
 import operator as _op
+from dataclasses import dataclass
+from functools import reduce
+from typing import Mapping
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,3 +58,59 @@ def compare_pair(
     else:
         raise ValueError(f"unknown comparison operator: {op}")
     return joined.filter(cond)
+
+
+@dataclass(frozen=True)
+class Comparison:
+    """One row of the comparisons lookup (the reference's
+    .comparisons_lookup tibble, data-raw/write_internal_data.R:284-294):
+    name is the emitted check_code."""
+
+    name: str
+    code_a: str
+    code_b: str
+    op: str
+
+
+def evaluate_comparisons(
+    extracts: Mapping[str, DataFrame],
+    lookup: list[Comparison],
+    keys: list[str],
+    value_col: str = "value",
+    eval_code: str = "VE_AP_01",
+) -> DataFrame:
+    """Lookup-driven comparison battery with failure decomposition.
+
+    Reference: evaluate_comparison (R/evaluate_comparison.R:49-192) — pmap
+    over the lookup rows, each violation set is semi-joined back to BOTH
+    source extracts so per-event failure rows are emitted for each side
+    (:101-124). An `exists` violation decomposes to side-a rows only (side
+    b has no row for those keys by definition — the semi-join is naturally
+    empty).
+
+    Output: (keys..., code_name, value, check_code, eval_code) — one row
+    per (violating key, participating side). The extracts dict is the
+    analog of the reference's comparisons_storage cache
+    (R/perform_evaluation.R:285-311); pass pre-cached frames when several
+    comparisons share an extract. All joins are keyed equi-joins; violation
+    key sets are at most extract-sized and typically tiny → AQE broadcasts
+    them.
+    """
+    parts: list[DataFrame] = []
+    for c in lookup:
+        viol = compare_pair(
+            extracts[c.code_a], extracts[c.code_b], keys, c.op, value_col
+        ).select(*keys).distinct()
+        for code in (c.code_a, c.code_b):
+            parts.append(
+                extracts[code]
+                .join(viol, keys, "leftsemi")
+                .select(
+                    *keys,
+                    F.lit(code).alias("code_name"),
+                    F.col(value_col).cast("string").alias("value"),
+                    F.lit(c.name).alias("check_code"),
+                    F.lit(eval_code).alias("eval_code"),
+                )
+            )
+    return reduce(DataFrame.unionByName, parts)

@@ -50,6 +50,31 @@ def make_core(
     return epi.join(events, "episode_id", "inner")
 
 
+def translate_sites(
+    df: DataFrame,
+    lookup: DataFrame,
+    site_col: str = "site",
+    from_col: str = "site",
+    to_col: str = "translated",
+) -> DataFrame:
+    """1:1 site-label rename via a lookup table, untranslated labels pass
+    through (reference site translation, R/extract_data.R:49-71 +
+    R/utils.R:125-147 — a lookup join with coalesce fallback).
+
+    The lookup is dimension-sized → broadcast; the fact side never
+    shuffles."""
+    lk = F.broadcast(
+        lookup.select(
+            F.col(from_col).alias("_site_from"), F.col(to_col).alias("_site_to")
+        )
+    )
+    return (
+        df.join(lk, df[site_col] == lk["_site_from"], "left")
+        .withColumn(site_col, F.coalesce("_site_to", site_col))
+        .drop("_site_from", "_site_to")
+    )
+
+
 def make_reference(episodes: DataFrame, provenance: DataFrame) -> DataFrame:
     """(episode_id, nhs_number, start_date, site) dim table — broadcast
     hint instead of the reference's collect()."""

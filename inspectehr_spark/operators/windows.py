@@ -105,6 +105,27 @@ def chronology_violations(
     )
 
 
+def decompose_chronology(
+    violations: DataFrame,
+    core: DataFrame,
+    entity_col: str,
+    code_col: str,
+    eval_code: str = "VE_TP_02",
+    description: str = "event violates life-course chronology",
+) -> DataFrame:
+    """Re-join chronology inversions to the core events so each violating
+    (entity, concept) emits its per-event failure rows (reference
+    decompose_chronology, R/evaluate_chronology.R:118-159 — the melted
+    wide-frame verdict joined back to core on (episode_id, code_name)).
+
+    Keyed equi inner join; the violation key set is usually tiny relative
+    to core (AQE broadcasts it)."""
+    keys = violations.select(entity_col, code_col).distinct()
+    return core.join(keys, [entity_col, code_col], "inner").withColumns(
+        {"eval_code": F.lit(eval_code), "description": F.lit(description)}
+    )
+
+
 def overlaps(
     df: DataFrame,
     entity_col: str,

@@ -213,7 +213,11 @@ def run_pipeline(
 
     Partition unit = p_date (date(warc_ts)) — the lineage/manifest key.
     With resume=True, partitions already in the manifest are skipped via
-    LEFT ANTI join (never reprocessed, never re-appended).
+    LEFT ANTI join (never reprocessed, never re-appended). The manifest is
+    appended only AFTER all sink appends succeed, so it acts as the commit
+    record: on resume, sink data for dates absent from the manifest
+    (a crash between sink append and manifest append) is rolled back and
+    reprocessed — exactly-once per partition either way.
     Returns {"partitions_processed": k, "rows": n}.
     """
     pages = spark.read.parquet(pages_path).withColumn(
@@ -221,9 +225,19 @@ def run_pipeline(
     )
 
     manifest_path = os.path.join(out_dir, "manifest")
-    if resume and _exists(spark, manifest_path):
-        done = spark.read.parquet(manifest_path).select("p_date").distinct()
-        pages = pages.join(F.broadcast(done), "p_date", "left_anti")
+    if resume:
+        done_dates = _manifest_dates(spark, manifest_path)
+        # Crash atomicity: the manifest is the COMMIT RECORD. Data appended
+        # for a partition whose manifest entry never landed (job died
+        # between the sink appends and the manifest append) may be partial
+        # — roll it back and reprocess, rather than trusting it (which
+        # could drop rows) or re-appending over it (which duplicates).
+        _rollback_unrecorded(spark, out_dir, done_dates)
+        if done_dates:
+            done = spark.createDataFrame(
+                [(p,) for p in sorted(done_dates)], "p_date string"
+            )
+            pages = pages.join(F.broadcast(done), "p_date", "left_anti")
 
     # cheap emptiness probe (1 row) instead of an eager full distinct-count
     # job — the partition count comes from the cached result at the end
@@ -255,7 +269,9 @@ def run_pipeline(
         log.repartition(F.col("p_date")).write.mode("append").partitionBy(
             "p_date"
         ).parquet(os.path.join(out_dir, "failures"))
-        mets.coalesce(1).write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+        mets.repartition(F.col("partition_id")).write.mode("append").partitionBy(
+            "partition_id"
+        ).parquet(os.path.join(out_dir, "metrics"))
         n_rows = flagged.count()
         # Collect the processed-partition ids BEFORE appending the manifest:
         # flagged's lineage contains the resume anti-join against the
@@ -278,6 +294,44 @@ def _exists(spark: SparkSession, path: str) -> bool:
     jsc = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(jsc).exists(p)
+
+
+def _manifest_dates(spark: SparkSession, manifest_path: str) -> set[str]:
+    if not _exists(spark, manifest_path):
+        return set()
+    return {
+        r[0]
+        for r in spark.read.parquet(manifest_path).select("p_date").distinct().collect()
+    }
+
+
+# sink directory → its partition directory key
+_SINKS = (("decisions", "p_date"), ("failures", "p_date"), ("metrics", "partition_id"))
+
+
+def _rollback_unrecorded(
+    spark: SparkSession, out_dir: str, done_dates: set[str]
+) -> list[str]:
+    """Delete sink partition dirs whose date is NOT in the manifest —
+    uncommitted leftovers of a crashed run. Metadata-only FS ops (no job).
+    Returns the rolled-back dates (for logging/tests)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    rolled: set[str] = set()
+    for sink, key in _SINKS:
+        base = jvm.org.apache.hadoop.fs.Path(os.path.join(out_dir, sink))
+        fs = base.getFileSystem(conf)
+        if not fs.exists(base):
+            continue
+        for status in fs.listStatus(base):
+            name = status.getPath().getName()
+            if not name.startswith(f"{key}="):
+                continue
+            date = name.split("=", 1)[1]
+            if date not in done_dates:
+                fs.delete(status.getPath(), True)
+                rolled.add(date)
+    return sorted(rolled)
 
 
 def main(argv: list[str] | None = None) -> None:

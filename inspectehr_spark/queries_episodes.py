@@ -281,8 +281,237 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_comparison_failures(spark, sf_dir):
+    """Lookup-driven comparison battery with per-side failure decomposition
+    (reference evaluate_comparison, R/evaluate_comparison.R:49-192):
+    first-signup/-purchase/-error per user, constraints signup<=purchase,
+    signup<=error, purchase-requires-signup; violations decompose back to
+    both participating extracts. Values are exact epoch-microsecond ints
+    rendered as strings (cross-engine-stable)."""
+    from inspectehr_spark.operators.comparison import (
+        Comparison,
+        evaluate_comparisons,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    et = F.col("event_type")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(et == t, ts_us)).alias(t)
+            for t in ("signup", "purchase", "error")
+        ]
+    )
+    extracts = {
+        t: firsts.select("user_id", F.col(t).alias("value")).filter(
+            F.col("value").isNotNull()
+        )
+        for t in ("signup", "purchase", "error")
+    }
+    lookup = [
+        Comparison("signup_before_purchase", "signup", "purchase", "<="),
+        Comparison("signup_before_error", "signup", "error", "<="),
+        Comparison("purchase_requires_signup", "purchase", "signup", "exists"),
+    ]
+    return evaluate_comparisons(extracts, lookup, ["user_id"])
+
+
+SQL_COMPARISON_FAILURES = """
+WITH f AS (
+  SELECT user_id,
+    min(CASE WHEN event_type='signup' THEN epoch_us(ts) END) AS signup,
+    min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS purchase,
+    min(CASE WHEN event_type='error' THEN epoch_us(ts) END) AS error
+  FROM events GROUP BY user_id
+),
+v_sp AS (SELECT user_id FROM f
+         WHERE signup IS NOT NULL AND purchase IS NOT NULL AND NOT (signup <= purchase)),
+v_se AS (SELECT user_id FROM f
+         WHERE signup IS NOT NULL AND error IS NOT NULL AND NOT (signup <= error)),
+v_ps AS (SELECT user_id FROM f WHERE purchase IS NOT NULL AND signup IS NULL)
+SELECT f.user_id, 'signup' AS code_name, CAST(signup AS VARCHAR) AS value,
+       'signup_before_purchase' AS check_code, 'VE_AP_01' AS eval_code
+FROM f SEMI JOIN v_sp ON f.user_id = v_sp.user_id WHERE signup IS NOT NULL
+UNION ALL
+SELECT f.user_id, 'purchase', CAST(purchase AS VARCHAR),
+       'signup_before_purchase', 'VE_AP_01'
+FROM f SEMI JOIN v_sp ON f.user_id = v_sp.user_id WHERE purchase IS NOT NULL
+UNION ALL
+SELECT f.user_id, 'signup', CAST(signup AS VARCHAR),
+       'signup_before_error', 'VE_AP_01'
+FROM f SEMI JOIN v_se ON f.user_id = v_se.user_id WHERE signup IS NOT NULL
+UNION ALL
+SELECT f.user_id, 'error', CAST(error AS VARCHAR),
+       'signup_before_error', 'VE_AP_01'
+FROM f SEMI JOIN v_se ON f.user_id = v_se.user_id WHERE error IS NOT NULL
+UNION ALL
+SELECT f.user_id, 'purchase', CAST(purchase AS VARCHAR),
+       'purchase_requires_signup', 'VE_AP_01'
+FROM f SEMI JOIN v_ps ON f.user_id = v_ps.user_id WHERE purchase IS NOT NULL
+UNION ALL
+SELECT f.user_id, 'signup', CAST(signup AS VARCHAR),
+       'purchase_requires_signup', 'VE_AP_01'
+FROM f SEMI JOIN v_ps ON f.user_id = v_ps.user_id WHERE signup IS NOT NULL
+"""
+
+
+TOD_LO, TOD_HI = 6 * 3600, 22 * 3600  # allowed time-of-day window [06:00, 22:00]
+
+
+def q_tod_bounds_fail(spark, sf_dir):
+    """Time-of-day range rule (reference evaluate_range.time_1d,
+    R/evaluate_ranges.R:315-334) on the seconds-of-day int convention
+    (SURVEY §1.3): events outside the allowed [06:00, 22:00] window."""
+    from inspectehr_spark.functions.datetimefns import seconds_of_day
+    from inspectehr_spark.operators.checks import violation_for
+    from inspectehr_spark.rules import Rule
+
+    rule = Rule(
+        "tod_bounds", "VE_VC_05", "event time-of-day outside allowed window",
+        column="tod", lo=float(TOD_LO), hi=float(TOD_HI),
+    )
+    ev = _t(spark, sf_dir, "events").withColumn("tod", seconds_of_day("ts"))
+    return ev.filter(violation_for(rule)).select(
+        "event_id",
+        F.col("tod").cast("long").alias("tod"),
+        F.lit(rule.eval_code).alias("eval_code"),
+    )
+
+
+SQL_TOD_BOUNDS_FAIL = f"""
+SELECT event_id,
+       CAST(date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+            + date_part('second', ts) AS BIGINT) AS tod,
+       'VE_VC_05' AS eval_code
+FROM events
+WHERE date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+      + date_part('second', ts) NOT BETWEEN {TOD_LO} AND {TOD_HI}
+"""
+
+
+def q_tod_ks_drift(spark, sf_dir):
+    """Time-of-day distribution drift (reference
+    evaluate_time_distribution, R/evaluate_distribution.R:163-221): the
+    pairwise two-sample KS on seconds-of-day between event_type groups,
+    via the distributed ECDF formulation (no data collect)."""
+    from inspectehr_spark.functions.datetimefns import seconds_of_day
+    from inspectehr_spark.operators.distribution import ks_pairwise
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", seconds_of_day("ts").alias("tod")
+    )
+    return ks_pairwise(ev, "event_type", "tod")
+
+
+SQL_TOD_KS_DRIFT = """
+WITH todv AS (
+  SELECT event_type,
+         date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+         + date_part('second', ts) AS tod
+  FROM events
+),
+counts AS (SELECT event_type, tod, COUNT(*) AS c FROM todv GROUP BY 1, 2),
+e AS (
+  SELECT event_type, tod,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY tod
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / SUM(c) OVER (PARTITION BY event_type) AS cdf
+  FROM counts
+),
+types AS (SELECT DISTINCT event_type FROM todv),
+pairs AS (
+  SELECT a.event_type AS group_a, b.event_type AS group_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+merged AS (
+  SELECT group_a, group_b, v, MAX(cdf_a) AS cdf_a, MAX(cdf_b) AS cdf_b
+  FROM (
+    SELECT p.group_a, p.group_b, e.tod AS v, e.cdf AS cdf_a, NULL::DOUBLE AS cdf_b
+    FROM pairs p JOIN e ON e.event_type = p.group_a
+    UNION ALL
+    SELECT p.group_a, p.group_b, e.tod AS v, NULL::DOUBLE AS cdf_a, e.cdf AS cdf_b
+    FROM pairs p JOIN e ON e.event_type = p.group_b
+  ) GROUP BY 1, 2, 3
+),
+stepped AS (
+  SELECT group_a, group_b,
+         COALESCE(LAST_VALUE(cdf_a IGNORE NULLS) OVER
+           (PARTITION BY group_a, group_b ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS fa,
+         COALESCE(LAST_VALUE(cdf_b IGNORE NULLS) OVER
+           (PARTITION BY group_a, group_b ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS fb
+  FROM merged
+)
+SELECT group_a, group_b, ROUND(MAX(ABS(fa - fb)), 6) AS ks_stat
+FROM stepped GROUP BY group_a, group_b
+"""
+
+
+def q_chronology_decomposed(spark, sf_dir):
+    """evaluate_chronology + decompose_chronology (reference
+    R/evaluate_chronology.R:30-99,118-159): pivot first-event times per
+    user into the life-course order signup → view → purchase, melt, flag
+    inversions with one lead window, then re-join the violating
+    (user, concept) pairs to the core events for per-event failure rows."""
+    from inspectehr_spark.operators.windows import (
+        chronology_violations,
+        decompose_chronology,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    et = F.col("event_type")
+    wide = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(et == t, ts_us)).alias(t)
+            for t in ("signup", "view", "purchase")
+        ]
+    )
+    melted = wide.selectExpr(
+        "user_id",
+        "stack(3, 1, 'signup', signup, 2, 'view', view, 3, 'purchase', purchase)"
+        " AS (order_key, event_type, first_us)",
+    )
+    viol = chronology_violations(melted, "user_id", "order_key", "first_us")
+    return decompose_chronology(viol, ev, "user_id", "event_type").select(
+        "event_id", "user_id", "event_type", "eval_code"
+    )
+
+
+SQL_CHRONOLOGY_DECOMPOSED = """
+WITH wide AS (
+  SELECT user_id,
+    min(CASE WHEN event_type='signup' THEN epoch_us(ts) END) AS signup,
+    min(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS view,
+    min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS purchase
+  FROM events GROUP BY user_id
+),
+melted AS (
+  SELECT user_id, 1 AS order_key, 'signup' AS event_type, signup AS first_us FROM wide
+  UNION ALL
+  SELECT user_id, 2, 'view', view FROM wide
+  UNION ALL
+  SELECT user_id, 3, 'purchase', purchase FROM wide
+),
+viol AS (
+  SELECT DISTINCT user_id, event_type FROM (
+    SELECT user_id, event_type, first_us,
+           LEAD(first_us) OVER (PARTITION BY user_id ORDER BY order_key) AS nxt
+    FROM melted
+  ) WHERE nxt IS NOT NULL AND first_us > nxt
+)
+SELECT e.event_id, e.user_id, e.event_type, 'VE_TP_02' AS eval_code
+FROM events e JOIN viol v ON e.user_id = v.user_id AND e.event_type = v.event_type
+"""
+
+
 EPISODE_QUERIES = {
     "episode_table": (q_episode_table, SQL_EPISODE_TABLE),
+    "comparison_failures": (q_comparison_failures, SQL_COMPARISON_FAILURES),
+    "tod_bounds_fail": (q_tod_bounds_fail, SQL_TOD_BOUNDS_FAIL),
+    "tod_ks_drift": (q_tod_ks_drift, SQL_TOD_KS_DRIFT),
+    "chronology_decomposed": (q_chronology_decomposed, SQL_CHRONOLOGY_DECOMPOSED),
     "episode_invalid_records": (q_episode_invalid_records, SQL_EPISODE_INVALID_RECORDS),
     "origin_failures": (q_origin_failures, SQL_ORIGIN_FAILURES),
     "monthly_blacklist": (q_monthly_blacklist, SQL_MONTHLY_BLACKLIST),

@@ -15,7 +15,7 @@ from inspectehr_spark.tables import table as _t
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-duplicate candidate pairs over documents (threshold
     lowered — the corpus has no planted near-dups; the operator's exactness
-    is unit-tested in tests/test_dedup.py with constructed near-dups)."""
+    is unit-tested in tests/test_operators.py with constructed near-dups)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_duplicates(
         docs, text_col="text", id_col="doc_id",
@@ -36,7 +36,7 @@ def q_simhash_fingerprints(spark, sf_dir):
 
 def q_ann_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH approximate nearest neighbours for the vec_id=0
-    query vector (recall vs brute force asserted in tests/test_ann.py)."""
+    query vector (recall vs brute force asserted in tests/test_noracle_queries.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return ann.lsh_topk(emb, [float(x) for x in qv], k=10, bits=6)

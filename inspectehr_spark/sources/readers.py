@@ -86,14 +86,29 @@ def read_pages(spark: SparkSession, location: str) -> DataFrame:
     return check_schema(df, PAGES_SCHEMA)
 
 
-def write_snapshot(df: DataFrame, location: str, partition_col: str | None = None) -> None:
-    """Append a snapshot: Iceberg `writeTo(...).append()` when available,
-    else partitioned parquet (same layout the resume manifest reads)."""
+def write_snapshot(
+    df: DataFrame,
+    location: str,
+    partition_col: str | None = None,
+    mode: str = "append",
+) -> None:
+    """Write a snapshot: Iceberg `writeTo(...)` when available, else
+    partitioned parquet (same layout the resume manifest reads).
+
+    mode="append" adds to the table; mode="replace" drops and recreates it
+    — the reference's dbRemoveTable-then-write output path
+    (R/perform_evaluation.R:172-174,192-194,221-223), Iceberg
+    createOrReplace / parquet overwrite here."""
+    if mode not in ("append", "replace"):
+        raise ValueError(f"unknown write mode: {mode!r}")
     spark = df.sparkSession
     if "/" not in location and iceberg_available(spark):
-        df.writeTo(location).append()
+        if mode == "append":
+            df.writeTo(location).append()
+        else:
+            df.writeTo(location).createOrReplace()
         return
-    w = df.write.mode("append")
+    w = df.write.mode("append" if mode == "append" else "overwrite")
     if partition_col:
         w = w.partitionBy(partition_col)
     w.parquet(location)

@@ -88,3 +88,38 @@ def test_combine_type_degradation(spark, ehr):
     assert both.count() == 5
     same = combine(extract(core, HEIGHT), extract(core, HR).select("site", "episode_id", "event_id", "value"))
     assert dict(same.dtypes)["value"] == "double"
+
+
+def test_translate_sites_partial_lookup(spark):
+    """Broadcast lookup rename with coalesce fallback (reference
+    R/extract_data.R:49-71): translated labels rename, unknown labels pass
+    through unchanged."""
+    from inspectehr_spark.operators.extract import translate_sites
+
+    df = spark.createDataFrame(
+        [(1, "RGT"), (2, "RYJ"), (3, "ZZZ")], "episode_id int, site string"
+    )
+    lookup = spark.createDataFrame(
+        [("RGT", "Cambridge"), ("RYJ", "Imperial")], "site string, translated string"
+    )
+    got = {r["episode_id"]: r["site"] for r in translate_sites(df, lookup).collect()}
+    assert got == {1: "Cambridge", 2: "Imperial", 3: "ZZZ"}
+
+
+def test_write_snapshot_replace_mode(spark, tmp_path):
+    """mode='replace' drops and recreates the sink (reference
+    dbRemoveTable-then-write, R/perform_evaluation.R:172-174)."""
+    import pytest as _pytest
+
+    from inspectehr_spark.sources.readers import write_snapshot
+
+    p = str(tmp_path / "snap")
+    a = spark.createDataFrame([(1,)], "x long")
+    b = spark.createDataFrame([(2,)], "x long")
+    write_snapshot(a, p)
+    write_snapshot(b, p)                      # append: both rows
+    assert spark.read.parquet(p).count() == 2
+    write_snapshot(b, p, mode="replace")      # replace: only the new row
+    assert [r["x"] for r in spark.read.parquet(p).collect()] == [2]
+    with _pytest.raises(ValueError):
+        write_snapshot(a, p, mode="truncate-ish")

@@ -232,6 +232,39 @@ def test_global_and_local_missingness(spark):
     assert [(r["site"], str(r["month_start"])) for r in local] == [("s1", "2024-02-01")]
 
 
+def test_evaluate_comparisons_decomposition(spark):
+    """Lookup-driven battery + decomposition back to both sides
+    (reference R/evaluate_comparison.R:101-192)."""
+    sys_bp = spark.createDataFrame(
+        [(1, 120.0), (2, 115.0), (3, 80.0)], "episode_id int, value double"
+    )
+    dia_bp = spark.createDataFrame(
+        [(1, 80.0), (2, 70.0), (3, 95.0)], "episode_id int, value double"
+    )
+    death_date = spark.createDataFrame([(1, "d")], "episode_id int, value string")
+    death_time = spark.createDataFrame([(2, "t")], "episode_id int, value string")
+    lookup = [
+        comparison.Comparison("sys_gt_dia", "sys", "dia", ">"),
+        comparison.Comparison("death_date_needs_time", "death_date", "death_time", "exists"),
+    ]
+    out = comparison.evaluate_comparisons(
+        {"sys": sys_bp, "dia": dia_bp, "death_date": death_date,
+         "death_time": death_time},
+        lookup, ["episode_id"],
+    )
+    rows = sorted(
+        (r["check_code"], r["episode_id"], r["code_name"], r["value"])
+        for r in out.collect()
+    )
+    # sys>dia violated only by episode 3 → BOTH sides decompose;
+    # death_date without death_time: episode 1 → side a only
+    assert rows == [
+        ("death_date_needs_time", 1, "death_date", "d"),
+        ("sys_gt_dia", 3, "dia", "95.0"),
+        ("sys_gt_dia", 3, "sys", "80.0"),
+    ]
+
+
 # --- scoring / failure-log schema ----------------------------------------------
 
 def test_failure_log_schema_contract(spark):

@@ -111,7 +111,9 @@ def test_metrics_cover_all_partitions_and_checks(spark, pipeline_out):
     from inspectehr_spark.pipeline import spec
 
     rows = mets.collect()
-    parts = {r["partition_id"] for r in rows}
+    # metrics are partitioned by partition_id on disk; the dir key reads
+    # back type-inferred (date) — compare stringified
+    parts = {str(r["partition_id"]) for r in rows}
     checks = {r["check_code"] for r in rows}
     assert checks == set(spec.CHECKS)
     dec = spark.read.parquet(os.path.join(out, "decisions"))
@@ -124,6 +126,26 @@ def test_metrics_cover_all_partitions_and_checks(spark, pipeline_out):
     log = spark.read.parquet(os.path.join(out, "failures"))
     n_dup_log = log.filter(log.check_code == "exact_duplicate").count()
     assert n_dup_metric == n_dup_log
+
+
+def test_resume_rolls_back_unrecorded_partitions(spark, fixture_corpus, tmp_path_factory):
+    """Crash between sink append and manifest append (ADVICE r1): the
+    orphaned sink data must be rolled back and reprocessed on resume — no
+    duplicate decision rows, no missing urls."""
+    import shutil
+
+    path, _planted, labels = fixture_corpus
+    out = str(tmp_path_factory.mktemp("out_crash"))
+    run_pipeline(spark, path, out, resume=True)
+    # simulate the crash: sink data present, manifest never written
+    shutil.rmtree(os.path.join(out, "manifest"))
+    stats = run_pipeline(spark, path, out, resume=True)
+    dec = spark.read.parquet(os.path.join(out, "decisions"))
+    assert stats["rows"] == len(labels)          # everything reprocessed
+    assert dec.count() == len(labels)            # and nothing duplicated
+    got = _decisions(spark, out)
+    wrong = [u for u, ref in labels.items() if got[u][0] != ref["keep"]]
+    assert not wrong, wrong[:5]
 
 
 def test_battery_matches_failure_flags(spark, fixture_corpus):
