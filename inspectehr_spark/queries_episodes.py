@@ -506,7 +506,92 @@ FROM events e JOIN viol v ON e.user_id = v.user_id AND e.event_type = v.event_ty
 """
 
 
+MINHASH_NUM, MINHASH_BANDS = 16, 4
+
+
+def q_minhash_band_signature(spark, sf_dir):
+    """MinHash banded signature with ENGINE-REPLAYABLE hashes: h_i(gram) =
+    md5(gram || '|i'), signature element = lexicographic min per i, band
+    hash = md5 of its 4 concatenated elements. Same shingle → minhash →
+    band pipeline shape as dedup.minhash_lsh_duplicates (which uses
+    xxhash64 — engine-specific, rows-only checked); this variant gives the
+    dedup path a full DuckDB value oracle. Docs with < 3 tokens have no
+    shingles and are absent (both engines)."""
+    from inspectehr_spark.functions.textfns import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "_toks", F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    )
+    staged = staged.withColumn("_grams", word_ngrams(F.col("_toks"), 3)).filter(
+        F.size("_grams") > 0
+    )
+    def _sig(i: int):
+        # NOTE: a `lambda g, i=i:` default-arg capture would be a TWO-
+        # parameter lambda, which pyspark HOFs interpret as (element,
+        # index) — the index Column silently shadows the captured int.
+        # Close over the literal via a factory instead.
+        suffix = F.lit(f"|{i}")
+        return F.array_min(
+            F.transform(F.col("_grams"), lambda g: F.md5(F.concat(g, suffix)))
+        ).alias(f"_h{i}")
+
+    sig_cols = [_sig(i) for i in range(MINHASH_NUM)]
+    sig = staged.select("doc_id", *sig_cols)
+    per_band = MINHASH_NUM // MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band_id"),
+                F.md5(
+                    F.concat(*[F.col(f"_h{b * per_band + j}") for j in range(per_band)])
+                ).alias("band_hash"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("f")).select(
+        "doc_id", F.col("f.band_id").alias("band_id"),
+        F.col("f.band_hash").alias("band_hash"),
+    )
+
+
+def _minhash_sql() -> str:
+    per_band = MINHASH_NUM // MINHASH_BANDS
+    hs = ",\n    ".join(
+        f"list_min(list_transform(g, x -> md5(x || '|{i}'))) AS h{i}"
+        for i in range(MINHASH_NUM)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, CAST({b} AS BIGINT) AS band_id, "
+        f"md5({'||'.join(f'h{b * per_band + j}' for j in range(per_band))}) AS band_hash FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(l) - 2),
+                        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS g
+  FROM toks WHERE len(l) >= 3
+),
+sig AS (
+  SELECT doc_id,
+    {hs}
+  FROM grams
+)
+{bands}
+"""
+
+
+SQL_MINHASH_BAND_SIGNATURE = _minhash_sql()
+
+
 EPISODE_QUERIES = {
+    "minhash_band_signature": (q_minhash_band_signature, SQL_MINHASH_BAND_SIGNATURE),
     "episode_table": (q_episode_table, SQL_EPISODE_TABLE),
     "comparison_failures": (q_comparison_failures, SQL_COMPARISON_FAILURES),
     "tod_bounds_fail": (q_tod_bounds_fail, SQL_TOD_BOUNDS_FAIL),
