@@ -50,6 +50,25 @@ def make_core(
     return epi.join(events, "episode_id", "inner")
 
 
+def lookup_concepts(
+    concepts: list[Concept],
+    code_name: str | None = None,
+    name_pattern: str | None = None,
+) -> list[Concept]:
+    """Driver-side concept-dictionary lookup (reference lookup_hic,
+    R/utils.R:228-250 — filter by exact code or name regex). Dimension
+    metadata only; never touches the data plane."""
+    import re
+
+    out = concepts
+    if code_name is not None:
+        out = [c for c in out if c.code_name == code_name]
+    if name_pattern is not None:
+        rx = re.compile(name_pattern)
+        out = [c for c in out if rx.search(c.code_name)]
+    return out
+
+
 def translate_sites(
     df: DataFrame,
     lookup: DataFrame,

@@ -59,7 +59,51 @@ DECISION = StructType(
     ]
 )
 
+# Per-(group, category, month) missing-contribution record — the uniform
+# 6-col missing-log schema (reference `events_missing`,
+# R/evaluate_events.R:108-117; asserted R/utils.R:517-545).
+MISSING_LOG = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("category", StringType()),
+        StructField("year", LongType()),
+        StructField("month", LongType()),
+        StructField("eval_code", StringType()),
+        StructField("description", StringType()),
+    ]
+)
+
 FAILURE_COLS = [f.name for f in FAILURE_LOG.fields]
+MISSING_COLS = [f.name for f in MISSING_LOG.fields]
+
+
+def make_missing_log(
+    missing: DataFrame,
+    eval_code: str,
+    description: str,
+    source_col: str = "source",
+    category_col: str = "category",
+    month_col: str = "month_start",
+) -> DataFrame:
+    """Project missingness rows onto the uniform MISSING_LOG schema —
+    analog of create_missing_log (reference R/evaluate_events.R:173-189):
+    stamp eval_code/description, split the month key into (year, month).
+    Missing key columns become NULL so global (no month) and local
+    (monthly) missingness union cleanly."""
+    cols = set(missing.columns)
+
+    def col_or_null(name: str, cast: str):
+        return F.col(name).cast(cast) if name in cols else F.lit(None).cast(cast)
+
+    has_month = month_col in cols
+    return missing.select(
+        col_or_null(source_col, "string").alias("source"),
+        col_or_null(category_col, "string").alias("category"),
+        (F.year(month_col).cast("long") if has_month else F.lit(None).cast("long")).alias("year"),
+        (F.month(month_col).cast("long") if has_month else F.lit(None).cast("long")).alias("month"),
+        F.lit(eval_code).alias("eval_code"),
+        F.lit(description).alias("description"),
+    )
 
 
 def make_failure_log(

@@ -70,3 +70,31 @@ def test_difftime_exact_on_ntz(spark, sf_dir):
     # must not throw on TIMESTAMP_NTZ input and be microsecond-exact
     rows = ev.select(dtf.difftime_hours("ts", "ts").alias("z")).collect()
     assert all(r["z"] == 0.0 for r in rows)
+
+
+def test_make_missing_log_schema(spark):
+    """Uniform 6-col missing-log stamping (reference create_missing_log,
+    R/evaluate_events.R:173-189; schema contract R/utils.R:517-545)."""
+    from inspectehr_spark.schemas import MISSING_COLS, make_missing_log
+
+    local = spark.createDataFrame(
+        [("s1", "hr", "2024-02-01")],
+        "source string, category string, month_start string",
+    ).withColumn("month_start", F.col("month_start").cast("date"))
+    log = make_missing_log(local, "VE_CP_04", "no contribution this month")
+    assert log.columns == MISSING_COLS
+    row = log.collect()[0]
+    assert (row["year"], row["month"], row["eval_code"]) == (2024, 2, "VE_CP_04")
+    # global missingness has no month key → NULL year/month, same schema
+    glob = spark.createDataFrame([("s1", "hr")], "source string, category string")
+    row2 = make_missing_log(glob, "VE_CP_02", "never contributed").collect()[0]
+    assert row2["year"] is None and row2["month"] is None
+
+
+def test_lookup_concepts():
+    from inspectehr_spark.operators.extract import Concept, lookup_concepts
+
+    cs = [Concept("heart_rate", "real", "real_2d"), Concept("height", "real", "real_1d")]
+    assert lookup_concepts(cs, code_name="height") == [cs[1]]
+    assert lookup_concepts(cs, name_pattern="^hea") == [cs[0]]
+    assert lookup_concepts(cs, name_pattern="h") == cs
