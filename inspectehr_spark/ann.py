@@ -128,3 +128,89 @@ def lsh_topk(
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-label mean vector — the IVF coarse quantizer's centroid table
+    (cid, centroid: array<double>). Components round to `round_dp` so the
+    downstream argmax assignment is stable across summation orders
+    (distributed partial aggregation is order-nondeterministic in the last
+    ulp; rounding collapses that before any comparison)."""
+    dims = emb.select(
+        F.col(label_col).alias("cid"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+    )
+    cent0 = dims.groupBy("cid", "pos").agg(F.round(F.avg("x"), round_dp).alias("m"))
+    return cent0.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest centroid
+    (coarse quantization), probe the `nprobe` centroids nearest the query,
+    exact cosine re-rank inside the probed cells only.
+
+    The second bucketed ANN scale path beside hyperplane LSH (`lsh_topk`).
+    Scale shape: the centroid table is tiny (≤ thousands of cells) →
+    broadcast nested-loop against the vectors for assignment (one scan, no
+    fact shuffle — at 10^9+ vectors persist `assigned` bucketed by cid so
+    queries touch only probed cells); the probe list is nprobe rows →
+    broadcast semi join; the re-rank is TakeOrderedAndProject over
+    candidates. Cosines round to 6dp BEFORE every ranking so verdicts are
+    ulp-stable (deterministic ties break on cid / vec_id)."""
+    from pyspark.sql import Window
+
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    c = F.col("centroid")
+    v = F.col("_v")
+    cos_vc = F.round(
+        _dot(v, c) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(c, c))), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "cid")
+    assigned = (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("_cos", cos_vc)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "_v", "cid")
+    )
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos_qc = F.round(
+        _dot(F.col("_q"), c) / (F.sqrt(_dot(F.col("_q"), F.col("_q"))) * F.sqrt(_dot(c, c))), 6
+    )
+    probes = (
+        centroids.withColumn("_q", q)
+        .select("cid", cos_qc.alias("_qcos"))
+        .orderBy(F.col("_qcos").desc(), "cid")
+        .limit(nprobe)
+        .select("cid")
+    )
+    cands = assigned.join(F.broadcast(probes), "cid", "leftsemi")
+    staged = cands.withColumn("_q", q)
+    sim = _dot(v, F.col("_q")) / (
+        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("_q"), F.col("_q")))
+    )
+    return (
+        staged.select("vec_id", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )

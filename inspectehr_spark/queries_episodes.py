@@ -590,8 +590,62 @@ sig AS (
 SQL_MINHASH_BAND_SIGNATURE = _minhash_sql()
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (SURVEY §8 similarity-search scale path #2, beside
+    hyperplane LSH): per-label centroid quantizer → assign → probe the 3
+    cells nearest the vec_id=0 query → exact cosine top-10 inside.
+    Fully SQL-expressible (unlike the xxhash64 LSH variant) → value
+    oracle."""
+    from inspectehr_spark import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ann.label_centroids(emb)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ann.ivf_topk(emb, cents, qv, k=10, nprobe=3)
+
+
+SQL_IVF_TOPK = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT label, unnest(generate_series(1, len(v))) AS pos,
+         unnest(v) AS x
+  FROM e
+),
+cent0 AS (SELECT label AS cid, pos, ROUND(AVG(x), 6) AS m FROM dims GROUP BY 1, 2),
+cent AS (SELECT cid, list(m ORDER BY pos) AS c FROM cent0 GROUP BY cid),
+asg AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+  FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROUND(list_dot_product(e.v, c.c)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.c, c.c))), 6) AS cos
+    FROM e CROSS JOIN cent c
+  )
+),
+assigned AS (SELECT vec_id, v, cid FROM asg WHERE rk = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (ORDER BY ROUND(list_dot_product(q.qv, c.c)
+             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.c, c.c))), 6) DESC, c.cid) AS rk
+    FROM cent c, q
+  ) WHERE rk <= 3
+),
+cands AS (SELECT a.vec_id, a.v FROM assigned a SEMI JOIN probes p ON a.cid = p.cid)
+SELECT vec_id,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+FROM cands, q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
 EPISODE_QUERIES = {
     "minhash_band_signature": (q_minhash_band_signature, SQL_MINHASH_BAND_SIGNATURE),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "episode_table": (q_episode_table, SQL_EPISODE_TABLE),
     "comparison_failures": (q_comparison_failures, SQL_COMPARISON_FAILURES),
     "tod_bounds_fail": (q_tod_bounds_fail, SQL_TOD_BOUNDS_FAIL),

@@ -57,3 +57,32 @@ def test_ann_lsh_recall_on_clustered_vectors(spark):
     }
     recall = len(brute & approx) / 10
     assert recall >= 0.8, (recall, brute, approx)
+
+
+def test_ann_ivf_recall_on_clustered_vectors(spark):
+    """IVF with a good quantizer (true cluster labels) must recover the
+    brute-force top-10 exactly when the probed cells cover the query's
+    cluster — 20 clusters × 25 vectors, deterministic."""
+    import random
+
+    from inspectehr_spark import ann
+
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    for c in range(20):
+        center = [rng.gauss(0, 1) for _ in range(32)]
+        for _ in range(25):
+            vec = [x + rng.gauss(0, 0.05) for x in center]
+            rows.append((vid, c, vec))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    qv = rows[0][2]
+    cents = ann.label_centroids(emb)
+    brute = {r["vec_id"] for r in ann.brute_force_topk(emb, qv, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ann.ivf_topk(emb, cents, qv, k=10, nprobe=2).collect()
+    }
+    recall = len(brute & approx) / 10
+    assert recall >= 0.9, (recall, brute, approx)

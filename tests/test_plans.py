@@ -77,6 +77,22 @@ def test_exact_dup_shuffle_key_excludes_text(spark, sf_dir):
         assert not re.search(r"\btext#\d", args), args
 
 
+def test_episode_window_chain_single_entity_shuffle(spark, sf_dir):
+    """characterise_episodes runs four entity-keyed windows; the chain must
+    reuse ONE hash exchange on the entity (hashpartitioning(nhs) satisfies
+    every (nhs, ts) clustering requirement) — no per-window re-shuffles on
+    composite keys."""
+    import re
+
+    fn, _ = QUERIES["episode_table"]
+    plan = inspect.formatted_plan(fn(spark, sf_dir))
+    args = re.findall(r"Arguments: hashpartitioning\(([^,)]+)[,)]", plan)
+    keys = {a.split("#")[0] for a in args}
+    assert "nhs" in keys, keys
+    # no exchange keyed on a composite starting with the start/end columns
+    assert not any(k.startswith("epi_") for k in keys), keys
+
+
 def test_keep_drop_two_exchanges_max(spark, sf_dir):
     """Decision join: failure-log agg (1 exchange on doc_id) + join against
     the universe — AQE may broadcast the agg side, never more than the agg
