@@ -258,3 +258,77 @@ def with_dup_ngram_fraction(
         F.round(1.0 - F.size(F.array_distinct(F.col("_sh"))) / total, 6),
     ).otherwise(F.lit(0.0))
     return staged.withColumn(out_col, frac).drop("_sh")
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash banding: the 64-bit fingerprint
+    splits into `chunks` equal bands; by pigeonhole any pair within
+    `max_hamming` < `chunks` bit flips agrees on at least one band, so
+    candidates = pairs sharing (band_id, band_value) — a keyed equi
+    self-join, never the O(n²) cross product (same banding scheme as the
+    MinHash LSH join above). Verification is exact:
+    bit_count(a XOR b) <= max_hamming, JVM-side.
+
+    Returns (doc_id_a, doc_id_b, hamming), a < b. Hot bands (boilerplate
+    fingerprints) are capped at `bucket_cap` docs via row_number, as in
+    minhash_lsh_duplicates.
+    """
+    if not 0 < chunks <= 64 or 64 % chunks:
+        raise ValueError("chunks must divide 64")
+    if max_hamming >= chunks:
+        raise ValueError(
+            "pigeonhole guarantee needs max_hamming < chunks "
+            f"(got {max_hamming} >= {chunks})"
+        )
+    bandw = 64 // chunks
+    mask = (1 << bandw) - 1
+    sh = with_simhash(df.select(id_col, text_col), text_col=text_col).select(
+        F.col(id_col).alias("doc_id"), "simhash"
+    )
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned("simhash", b * bandw)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(chunks)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+
+    wb = Window.partitionBy("band_id", "band_val").orderBy("doc_id")
+    banded = banded.withColumn("_rn", F.row_number().over(wb)).filter(
+        F.col("_rn") <= bucket_cap
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -526,18 +526,28 @@ def q_minhash_band_signature(spark, sf_dir):
     staged = staged.withColumn("_grams", word_ngrams(F.col("_toks"), 3)).filter(
         F.size("_grams") > 0
     )
-    def _sig(i: int):
-        # NOTE: a `lambda g, i=i:` default-arg capture would be a TWO-
-        # parameter lambda, which pyspark HOFs interpret as (element,
-        # index) — the index Column silently shadows the captured int.
-        # Close over the literal via a factory instead.
-        suffix = F.lit(f"|{i}")
-        return F.array_min(
-            F.transform(F.col("_grams"), lambda g: F.md5(F.concat(g, suffix)))
-        ).alias(f"_h{i}")
+    # ONE aggregate pass (the simhash treatment): accumulator = 16 running
+    # minima, each gram contributes its 16 salted md5s via zip_with/least.
+    # 'g' sorts after every hex char, so it is the identity for least().
+    # NOTE: a `lambda g, i=i:` default-arg capture would be a TWO-parameter
+    # lambda, which pyspark HOFs interpret as (element, index) — the index
+    # Column silently shadows the captured int; hence the nested-lambda
+    # form with the salt built from the bound index variable.
+    def _md5s(g):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(MINHASH_NUM - 1)),
+            lambda i: F.md5(F.concat(g, F.lit("|"), i.cast("string"))),
+        )
 
-    sig_cols = [_sig(i) for i in range(MINHASH_NUM)]
-    sig = staged.select("doc_id", *sig_cols)
+    sig_arr = F.aggregate(
+        F.col("_grams"),
+        F.array_repeat(F.lit("g"), MINHASH_NUM),
+        lambda acc, g: F.zip_with(acc, _md5s(g), lambda a, m: F.least(a, m)),
+    )
+    sig = staged.withColumn("_sig", sig_arr).select(
+        "doc_id",
+        *[F.element_at("_sig", i + 1).alias(f"_h{i}") for i in range(MINHASH_NUM)],
+    )
     per_band = MINHASH_NUM // MINHASH_BANDS
     bands = F.array(
         *[

@@ -34,6 +34,14 @@ def q_simhash_fingerprints(spark, sf_dir):
     )
 
 
+def q_simhash_hamming_pairs(spark, sf_dir):
+    """SimHash banded near-dup pairs (pigeonhole banding + exact
+    bit_count verify); threshold loosened — the corpus has no planted
+    near-dups; exactness is unit-tested in tests/test_operators.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(docs, max_hamming=14, chunks=16)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH approximate nearest neighbours for the vec_id=0
     query vector (recall vs brute force asserted in tests/test_noracle_queries.py)."""
@@ -84,6 +92,7 @@ def q_pipeline_decisions(spark, sf_dir):
 NO_ORACLE_QUERIES = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),
+    "simhash_hamming_pairs": (q_simhash_hamming_pairs, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "pipeline_decisions": (q_pipeline_decisions, None),
 }

@@ -232,6 +232,26 @@ def test_global_and_local_missingness(spark):
     assert [(r["site"], str(r["month_start"])) for r in local] == [("s1", "2024-02-01")]
 
 
+def test_simhash_hamming_pairs(spark):
+    """Constructed near-dups: one token changed in a 40-token doc flips few
+    simhash bits → pair found; an unrelated doc does not pair."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "tokX")
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in dedup.simhash_hamming_pairs(df, max_hamming=12, chunks=16).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+    assert pairs[(1, 2)] <= 12
+    with pytest.raises(ValueError):
+        dedup.simhash_hamming_pairs(df, max_hamming=4, chunks=4)
+
+
 def test_evaluate_comparisons_decomposition(spark):
     """Lookup-driven battery + decomposition back to both sides
     (reference R/evaluate_comparison.R:101-192)."""
