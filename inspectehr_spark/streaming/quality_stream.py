@@ -66,6 +66,42 @@ def windowed_metrics(
     )
 
 
+def stream_first_seen(stream: DataFrame, key_col: str = "url") -> DataFrame:
+    """Streaming exact-dedup: emit only the FIRST occurrence of each key
+    across the stream's lifetime — the ingest-time analog of the batch
+    keep-first window (operators/dedup.exact_duplicates), implemented as a
+    custom stateful operator with applyInPandasWithState.
+
+    State = one empty-marker per key group, checkpointed by the engine, so
+    dedup survives restarts. Scale note: state is per-key and grows with
+    distinct keys — for 10^12-doc ingest, key the state by a 128-bit
+    content hash (16 bytes/key) and age it out with a processing-time
+    timeout sized to the crawl revisit horizon; the compacted-snapshot
+    batch join (module docstring) remains the full-history path.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = stream.schema
+
+    def first_only(key, pdfs, state):
+        if state.exists:
+            return
+        state.update((True,))
+        emitted = False
+        for pdf in pdfs:
+            if not emitted and len(pdf):
+                yield pdf.iloc[:1]
+                emitted = True
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        first_only,
+        outputStructType=schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessionize(
     stream: DataFrame,
     ts_col: str = "ts",
