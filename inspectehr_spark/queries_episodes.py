@@ -1,6 +1,9 @@
-"""Registry batch 3 — the episode composites with DuckDB oracles.
+"""Registry batch 3 — round-2 operators with DuckDB oracles: the episode
+composites, the comparison lookup driver, time-of-day checks, the
+decomposed chronology, an md5-replayable MinHash signature and IVF ANN.
 
-Instantiates operators/episodes.py over the driver's `events` table:
+The episode queries instantiate operators/episodes.py over the driver's
+`events` table:
 an "episode" is a (user_id, day) admission; the patient identity is
 user_id % 50 (collisions on purpose so the per-patient checks fire);
 identity numbers are constructed mod-11-valid except every 7th patient
