@@ -293,7 +293,7 @@ def q_comparison_failures(spark, sf_dir):
     rendered as strings (cross-engine-stable)."""
     from inspectehr_spark.operators.comparison import (
         Comparison,
-        evaluate_comparisons,
+        evaluate_comparisons_wide,
     )
 
     ev = _t(spark, sf_dir, "events")
@@ -305,18 +305,12 @@ def q_comparison_failures(spark, sf_dir):
             for t in ("signup", "purchase", "error")
         ]
     )
-    extracts = {
-        t: firsts.select("user_id", F.col(t).alias("value")).filter(
-            F.col("value").isNotNull()
-        )
-        for t in ("signup", "purchase", "error")
-    }
     lookup = [
         Comparison("signup_before_purchase", "signup", "purchase", "<="),
         Comparison("signup_before_error", "signup", "error", "<="),
         Comparison("purchase_requires_signup", "purchase", "signup", "exists"),
     ]
-    return evaluate_comparisons(extracts, lookup, ["user_id"])
+    return evaluate_comparisons_wide(firsts, lookup, ["user_id"])
 
 
 SQL_COMPARISON_FAILURES = """

@@ -284,6 +284,21 @@ def test_evaluate_comparisons_decomposition(spark):
         ("sys_gt_dia", 3, "sys", "80.0"),
     ]
 
+    # the single-pass wide formulation (one scan, zero joins) is
+    # output-identical on the pivoted frame
+    wide = spark.createDataFrame(
+        [(1, 120.0, 80.0, "d", None), (2, 115.0, 70.0, None, "t"),
+         (3, 80.0, 95.0, None, None)],
+        "episode_id int, sys double, dia double, death_date string,"
+        " death_time string",
+    )
+    out_w = comparison.evaluate_comparisons_wide(wide, lookup, ["episode_id"])
+    rows_w = sorted(
+        (r["check_code"], r["episode_id"], r["code_name"], r["value"])
+        for r in out_w.collect()
+    )
+    assert rows_w == rows
+
 
 # --- scoring / failure-log schema ----------------------------------------------
 
