@@ -445,6 +445,70 @@ FROM stepped GROUP BY group_a, group_b
 """
 
 
+DRIFT_T = 0.023  # fixture-scale threshold; reference uses 0.5 (operator default)
+
+
+def q_drift_flagged_groups(spark, sf_dir):
+    """evaluate_distribution flag rule (reference
+    R/evaluate_distribution.R:86-147): a group fails when its KS distance
+    exceeds the threshold against ALL other groups (min over its pairs).
+    Composes the distributed pairwise KS with drift_flags."""
+    from inspectehr_spark.operators.distribution import drift_flags, ks_pairwise
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return drift_flags(ks_pairwise(ev, "event_type", "value"), threshold=DRIFT_T)
+
+
+SQL_DRIFT_FLAGGED_GROUPS = f"""
+WITH counts AS (
+  SELECT event_type, value, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+e AS (
+  SELECT event_type, value,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / SUM(c) OVER (PARTITION BY event_type) AS cdf
+  FROM counts
+),
+types AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS group_a, b.event_type AS group_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+merged AS (
+  SELECT group_a, group_b, v, MAX(cdf_a) AS cdf_a, MAX(cdf_b) AS cdf_b
+  FROM (
+    SELECT p.group_a, p.group_b, e.value AS v, e.cdf AS cdf_a, NULL::DOUBLE AS cdf_b
+    FROM pairs p JOIN e ON e.event_type = p.group_a
+    UNION ALL
+    SELECT p.group_a, p.group_b, e.value AS v, NULL::DOUBLE AS cdf_a, e.cdf AS cdf_b
+    FROM pairs p JOIN e ON e.event_type = p.group_b
+  ) GROUP BY 1, 2, 3
+),
+stepped AS (
+  SELECT group_a, group_b,
+         COALESCE(LAST_VALUE(cdf_a IGNORE NULLS) OVER
+           (PARTITION BY group_a, group_b ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS fa,
+         COALESCE(LAST_VALUE(cdf_b IGNORE NULLS) OVER
+           (PARTITION BY group_a, group_b ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS fb
+  FROM merged
+),
+ks AS (
+  SELECT group_a, group_b, ROUND(MAX(ABS(fa - fb)), 6) AS ks_stat
+  FROM stepped GROUP BY group_a, group_b
+),
+sym AS (
+  SELECT group_a AS g, ks_stat AS s FROM ks
+  UNION ALL
+  SELECT group_b, ks_stat FROM ks
+)
+SELECT g AS "group", MIN(s) AS min_ks FROM sym
+GROUP BY g HAVING MIN(s) > {DRIFT_T}
+"""
+
+
 def q_chronology_decomposed(spark, sf_dir):
     """evaluate_chronology + decompose_chronology (reference
     R/evaluate_chronology.R:30-99,118-159): pivot first-event times per
@@ -657,6 +721,7 @@ EPISODE_QUERIES = {
     "comparison_failures": (q_comparison_failures, SQL_COMPARISON_FAILURES),
     "tod_bounds_fail": (q_tod_bounds_fail, SQL_TOD_BOUNDS_FAIL),
     "tod_ks_drift": (q_tod_ks_drift, SQL_TOD_KS_DRIFT),
+    "drift_flagged_groups": (q_drift_flagged_groups, SQL_DRIFT_FLAGGED_GROUPS),
     "chronology_decomposed": (q_chronology_decomposed, SQL_CHRONOLOGY_DECOMPOSED),
     "episode_invalid_records": (q_episode_invalid_records, SQL_EPISODE_INVALID_RECORDS),
     "origin_failures": (q_origin_failures, SQL_ORIGIN_FAILURES),
