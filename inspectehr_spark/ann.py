@@ -214,3 +214,47 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
     )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, BUCKETED: candidate pairs
+    share a bucket (an IVF cell from `label_centroids`+assignment, an LSH
+    bucket from `with_hyperplane_buckets`, or any precomputed cluster
+    column) — a keyed equi self-join, never the O(n²) cross product; the
+    exact cosine verifies inside the bucket only. The embedding analog of
+    the MinHash/SimHash band joins in operators/dedup.py.
+
+    Returns (vec_id_a, vec_id_b, cos_sim), a < b, cosine rounded to 6dp
+    BEFORE the threshold comparison (ulp-stable verdicts). Recall is the
+    quantizer's: pairs split across buckets are missed — probe multiple
+    cells (multi-assign) when the threshold is loose relative to cell
+    diameter."""
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(bucket_col).alias("_bkt"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    va, vb = F.col("a._v"), F.col("b._v")
+    cos = F.round(
+        _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb))), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -714,9 +714,31 @@ LIMIT 10
 """
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, bucketed by cluster cell (SURVEY §8
+    dedup modality #5): candidates share a cell, exact cosine >= 0.35
+    verifies inside the cell only — never all-pairs."""
+    from inspectehr_spark.ann import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35, bucket_col="label")
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id_a, vec_id_b, cos_sim FROM (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.35
+"""
+
+
 EPISODE_QUERIES = {
     "minhash_band_signature": (q_minhash_band_signature, SQL_MINHASH_BAND_SIGNATURE),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "episode_table": (q_episode_table, SQL_EPISODE_TABLE),
     "comparison_failures": (q_comparison_failures, SQL_COMPARISON_FAILURES),
     "tod_bounds_fail": (q_tod_bounds_fail, SQL_TOD_BOUNDS_FAIL),
