@@ -93,6 +93,34 @@ def test_episode_window_chain_single_entity_shuffle(spark, sf_dir):
     assert not any(k.startswith("epi_") for k in keys), keys
 
 
+def test_minhash_signature_no_shuffle(spark, sf_dir):
+    """The banded MinHash signature is scan → project (one aggregate pass)
+    → explode: zero shuffles."""
+    fn, _ = QUERIES["minhash_band_signature"]
+    df = fn(spark, sf_dir)
+    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+
+
+def test_ivf_assignment_broadcasts_centroids(spark, sf_dir):
+    """IVF assignment must broadcast the tiny centroid table against the
+    vectors (never a cartesian product or a fact-side shuffle for it)."""
+    fn, _ = QUERIES["ivf_topk"]
+    df = fn(spark, sf_dir)
+    assert inspect.has_broadcast_join(df)
+    assert not inspect.has_cartesian(df)
+
+
+def test_comparison_battery_single_scan(spark, sf_dir):
+    """The wide comparison battery is one scan + one aggregate exchange —
+    the extract-dict formulation planned 36 scans / 72 exchanges."""
+    fn, _ = QUERIES["comparison_failures"]
+    df = fn(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    # AQE prints the plan twice (initial + final); per printout: 1 scan
+    assert plan.count("Scan parquet") <= 2, plan
+    assert inspect.exchange_count(df) <= 1, plan
+
+
 def test_keep_drop_two_exchanges_max(spark, sf_dir):
     """Decision join: failure-log agg (1 exchange on doc_id) + join against
     the universe — AQE may broadcast the agg side, never more than the agg
