@@ -235,16 +235,17 @@ def embedding_near_dup_pairs(
     quantizer's: pairs split across buckets are missed — probe multiple
     cells (multi-assign) when the threshold is loose relative to cell
     diameter."""
-    e = emb.select(
+    staged = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(bucket_col).alias("_bkt"),
         _as_double(F.col(vec_col)).alias("_v"),
     )
+    # norms precompute ONCE per vector (before the self-join) — the pair
+    # side then evaluates a single dot instead of three
+    e = staged.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
     a, b = e.alias("a"), e.alias("b")
     va, vb = F.col("a._v"), F.col("b._v")
-    cos = F.round(
-        _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb))), 6
-    )
+    cos = F.round(_dot(va, vb) / (F.col("a._n") * F.col("b._n")), 6)
     return (
         a.join(
             b,

@@ -725,11 +725,14 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 SQL_EMBEDDING_NEAR_DUP = """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+)
 SELECT vec_id_a, vec_id_b, cos_sim FROM (
   SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-         ROUND(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+         ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos_sim
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 ) WHERE cos_sim >= 0.35
 """
