@@ -234,7 +234,9 @@ def embedding_near_dup_pairs(
     BEFORE the threshold comparison (ulp-stable verdicts). Recall is the
     quantizer's: pairs split across buckets are missed — probe multiple
     cells (multi-assign) when the threshold is loose relative to cell
-    diameter."""
+    diameter. Within-cell work is O(cell²): size the quantizer so cells
+    stay bounded (more centroids / more hyperplane bits at higher corpus
+    scale); no silent row cap is applied here."""
     staged = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(bucket_col).alias("_bkt"),
