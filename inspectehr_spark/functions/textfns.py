@@ -119,3 +119,19 @@ def fingerprint(text_col, k: int = 8) -> Column:
     hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
     bottom = F.slice(F.array_sort(hashes), 1, k)
     return F.xxhash64(F.concat_ws(",", F.transform(bottom, lambda h: h.cast("string"))))
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to syntax valid in BOTH
+# Java regex (Spark) and RE2 (DuckDB): no lookarounds, no possessives.
+# Pieces: common English contractions | space?+letters | space?+digits |
+# space?+other-symbol runs | whitespace runs.
+BPE_ISH_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_ish_token_count(text_col) -> Column:
+    """Subword-ish token count via a GPT-2-style pre-tokenizer regex —
+    the 'BPE-ish regex' counter beside the whitespace `token_count`
+    (training-data token budgeting). Native `regexp_count`: JVM-side,
+    no UDF."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(c, F.lit(BPE_ISH_RE)).cast("long")

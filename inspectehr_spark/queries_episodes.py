@@ -714,6 +714,28 @@ LIMIT 10
 """
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """Whitespace vs BPE-ish token counts per document (SURVEY §8 text
+    analysis: token counting 'whitespace + a BPE-ish regex'). Both native
+    expressions — regexp_count stays in codegen."""
+    from inspectehr_spark.functions.textfns import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+SQL_BPE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, bucketed by cluster cell (SURVEY §8
     dedup modality #5): candidates share a cell, exact cosine >= 0.35
@@ -742,6 +764,7 @@ EPISODE_QUERIES = {
     "minhash_band_signature": (q_minhash_band_signature, SQL_MINHASH_BAND_SIGNATURE),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "episode_table": (q_episode_table, SQL_EPISODE_TABLE),
     "comparison_failures": (q_comparison_failures, SQL_COMPARISON_FAILURES),
     "tod_bounds_fail": (q_tod_bounds_fail, SQL_TOD_BOUNDS_FAIL),
