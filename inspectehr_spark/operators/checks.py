@@ -51,10 +51,20 @@ def pattern_violation(col: Column, rule: Rule) -> Column:
     return col.isNotNull() & ~col.rlike(rule.pattern)
 
 
-def temporal_violation(col: Column, lo: str = "1900-01-01", hi: Column | None = None) -> Column:
-    """TRUE iff timestamp outside [lo, hi] (hi defaults to now).
+# Pinned default bounds for temporal rules that give only one side.
+# NEVER current_timestamp(): a wall-clock bound makes the same battery over
+# the same data yield different failure logs across runs, breaking
+# replay/resume idempotence and oracle parity (ADVICE r2 #2). A rule that
+# really wants "no future timestamps" must pin its own ts_hi.
+TS_DEFAULT_LO = "1900-01-01 00:00:00"
+TS_DEFAULT_HI = "2100-01-01 00:00:00"
+
+
+def temporal_violation(col: Column, lo: str = TS_DEFAULT_LO, hi: Column | None = None) -> Column:
+    """TRUE iff timestamp outside [lo, hi] (hi defaults to the pinned
+    TS_DEFAULT_HI spec constant — deterministic, never wall-clock).
     Reference: evaluate_range.date/datetime_1d, R/evaluate_ranges.R:282-367."""
-    hi = hi if hi is not None else F.current_timestamp()
+    hi = hi if hi is not None else F.lit(TS_DEFAULT_HI).cast("timestamp")
     return col.isNotNull() & ~col.between(F.lit(lo).cast("timestamp"), hi)
 
 
@@ -81,11 +91,14 @@ def flag_violation(col: Column) -> Column:
 
 
 def ts_bounds_violation(col: Column, rule: Rule) -> Column:
-    """TRUE iff timestamp outside [ts_lo, ts_hi]; NULL → no verdict.
+    """TRUE iff timestamp outside [ts_lo, ts_hi]; NULL → no verdict. An
+    unset side falls back to the pinned TS_DEFAULT_LO/HI constants — never
+    current_timestamp(), which would make verdicts wall-clock dependent
+    (same data, different failure log across runs; ADVICE r2 #2).
     Reference: evaluate_range.date/datetime_1d, R/evaluate_ranges.R:282-367."""
     c = col.cast("timestamp")
-    lo = F.lit(rule.ts_lo).cast("timestamp") if rule.ts_lo else F.lit("1900-01-01").cast("timestamp")
-    hi = F.lit(rule.ts_hi).cast("timestamp") if rule.ts_hi else F.current_timestamp()
+    lo = F.lit(rule.ts_lo or TS_DEFAULT_LO).cast("timestamp")
+    hi = F.lit(rule.ts_hi or TS_DEFAULT_HI).cast("timestamp")
     return c.isNotNull() & ~c.between(lo, hi)
 
 

@@ -91,14 +91,19 @@ def enrich(pages: DataFrame) -> DataFrame:
 
 def flag_exact_duplicates(enriched: DataFrame) -> DataFrame:
     """is_duplicate: same extracted text as a doc with smaller url.
-    Shuffle key = two independently-seeded xxhash64 values (128 bits
-    total) — the text never enters the partitioning expression, so the
-    exchange carries a 16-byte key per row instead of duplicating the
-    widest column into the key (VERDICT r1 #3). Collision odds at 10^12
-    docs on 128 bits ≈ 1e-15; within-group equality verification is
-    deliberately omitted."""
+    Shuffle key = two 64-bit xxhash64 values — the text never enters the
+    partitioning expression, so the exchange carries a 16-byte key per row
+    instead of duplicating the widest column into the key (VERDICT r1 #3).
+    The second hash salts FIRST (xxhash64(1, text)): Spark chains multi-arg
+    xxhash64 with the running hash as the next seed, so a RIGHT salt —
+    xxhash64(text, 1) — is a pure function of xxhash64(text) and adds no
+    independent bits (any 64-bit text-hash collision would collide the
+    whole key: ~27k expected pairs at 10^12 docs). Salt-first hashes the
+    text under a different effective seed; the genuinely-128-bit composite
+    has collision odds ≈ 1e-15 at 10^12 docs, so within-group equality
+    verification (a full-text sort) is deliberately omitted."""
     w = Window.partitionBy(
-        F.xxhash64("text_x"), F.xxhash64("text_x", F.lit(1))
+        F.xxhash64("text_x"), F.xxhash64(F.lit(1), "text_x")
     ).orderBy("url")
     return enriched.withColumn(
         "is_duplicate", F.row_number().over(w) > 1

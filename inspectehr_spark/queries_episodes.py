@@ -61,7 +61,7 @@ def _episodes_wide(spark, sf_dir):
 
     return staged.select(
         (
-            F.col("user_id") * 100
+            F.col("user_id") * 100000
             + F.datediff(F.col("d"), F.lit(EPOCH_DAY0).cast("date"))
         ).alias("episode_id"),
         "nhs",
@@ -91,7 +91,7 @@ WITH agg AS (
 ),
 ep0 AS (
   SELECT user_id % 50 AS nhs,
-         user_id * 100 + datediff('day', DATE '{EPOCH_DAY0}', d) AS episode_id,
+         user_id * 100000 + datediff('day', DATE '{EPOCH_DAY0}', d) AS episode_id,
          date_trunc('hour', min_ts) AS epi_start_dttm,
          date_trunc('hour', src_raw) AS src_end_dttm,
          date_trunc('hour', death_raw) AS death_dttm,
@@ -202,7 +202,7 @@ def q_origin_failures(spark, sf_dir):
     of an invalid episode inherits failure VE_RC_04."""
     ev = _t(spark, sf_dir, "events").withColumn(
         "episode_id",
-        F.col("user_id") * 100
+        F.col("user_id") * 100000
         + F.datediff(F.to_date("ts"), F.lit(EPOCH_DAY0).cast("date")),
     )
     _table, invalid = E.characterise_episodes(_episodes_wide(spark, sf_dir))
@@ -213,11 +213,11 @@ def q_origin_failures(spark, sf_dir):
 
 SQL_ORIGIN_FAILURES = _EPI_CTE + f"""
 SELECT e.event_id,
-       e.user_id * 100 + datediff('day', DATE '{EPOCH_DAY0}', CAST(e.ts AS DATE)) AS episode_id,
+       e.user_id * 100000 + datediff('day', DATE '{EPOCH_DAY0}', CAST(e.ts AS DATE)) AS episode_id,
        'VE_RC_04' AS eval_code
 FROM events e
 SEMI JOIN (SELECT DISTINCT episode_id FROM inv) i
-  ON e.user_id * 100 + datediff('day', DATE '{EPOCH_DAY0}', CAST(e.ts AS DATE)) = i.episode_id
+  ON e.user_id * 100000 + datediff('day', DATE '{EPOCH_DAY0}', CAST(e.ts AS DATE)) = i.episode_id
 """
 
 
@@ -739,18 +739,30 @@ FROM documents
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, bucketed by cluster cell (SURVEY §8
     dedup modality #5): candidates share a cell, exact cosine >= 0.35
-    verifies inside the cell only — never all-pairs."""
+    verifies inside the cell only — never all-pairs. The per-cell cap
+    (lowest-id keep, VERDICT r2 #2) bounds within-cell O(cell²) work; it is
+    mirrored in the oracle via ROW_NUMBER so the cap semantics themselves
+    are value-checked, not just the uncapped happy path."""
     from inspectehr_spark.ann import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.35, bucket_col="label")
+    return embedding_near_dup_pairs(
+        emb, threshold=0.35, bucket_col="label", bucket_cap=2000
+    )
 
 
 SQL_EMBEDDING_NEAR_DUP = """
-WITH e AS (
+WITH capped AS (
+  SELECT vec_id, label, embedding FROM (
+    SELECT vec_id, label, embedding,
+           ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= 2000
+),
+e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
-  FROM embeddings
+  FROM capped
 )
 SELECT vec_id_a, vec_id_b, cos_sim FROM (
   SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

@@ -66,11 +66,20 @@ def windowed_metrics(
     )
 
 
-def stream_first_seen(stream: DataFrame, key_col: str = "url") -> DataFrame:
+def stream_first_seen(
+    stream: DataFrame, key_col: str = "url", order_col: str | None = None
+) -> DataFrame:
     """Streaming exact-dedup: emit only the FIRST occurrence of each key
     across the stream's lifetime — the ingest-time analog of the batch
     keep-first window (operators/dedup.exact_duplicates), implemented as a
     custom stateful operator with applyInPandasWithState.
+
+    Within a micro-batch the survivor is chosen by `order_col` ascending
+    (defaults to the first non-key column — id/ts in the quality stream),
+    matching the batch analog's deterministic lowest-id keep; arrival order
+    inside a batch is NOT deterministic, so emitting the first arriving row
+    would make the survivor replay-dependent (ADVICE r2 #4). Across
+    micro-batches first-batch-wins is inherent to streaming.
 
     State = one empty-marker per key group, checkpointed by the engine, so
     dedup survives restarts. Scale note: state is per-key and grows with
@@ -82,16 +91,22 @@ def stream_first_seen(stream: DataFrame, key_col: str = "url") -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     schema = stream.schema
+    tiebreak = order_col or next(c for c in schema.names if c != key_col)
 
     def first_only(key, pdfs, state):
         if state.exists:
             return
         state.update((True,))
-        emitted = False
+        # the group's rows may span several Arrow batches: keep the
+        # order_col-minimal row across ALL of them, then emit once
+        best = None
         for pdf in pdfs:
-            if not emitted and len(pdf):
-                yield pdf.iloc[:1]
-                emitted = True
+            if len(pdf):
+                cand = pdf.sort_values(tiebreak, kind="mergesort").iloc[:1]
+                if best is None or cand[tiebreak].iloc[0] < best[tiebreak].iloc[0]:
+                    best = cand
+        if best is not None:
+            yield best
 
     return stream.groupBy(key_col).applyInPandasWithState(
         first_only,

@@ -101,13 +101,22 @@ def test_minhash_signature_no_shuffle(spark, sf_dir):
     assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
 
 
-def test_ivf_assignment_broadcasts_centroids(spark, sf_dir):
-    """IVF assignment must broadcast the tiny centroid table against the
-    vectors (never a cartesian product or a fact-side shuffle for it)."""
+def test_ivf_assignment_zero_shuffle(spark, sf_dir):
+    """IVF assignment is a literal-array argmax projection (VERDICT r2 #1):
+    the plan must contain NO Exchange keyed on vec_id between assignment
+    and the probe filter — in fact no join and no hash exchange at all
+    (scan → project → filter → TakeOrderedAndProject)."""
+    import re
+
     fn, _ = QUERIES["ivf_topk"]
     df = fn(spark, sf_dir)
-    assert inspect.has_broadcast_join(df)
     assert not inspect.has_cartesian(df)
+    plan = inspect.formatted_plan(df)
+    args = re.findall(r"hashpartitioning\(([^,)]+)[,)]", plan)
+    assert not any(a.split("#")[0] == "vec_id" for a in args), args
+    # the old crossJoin+row_number shape is gone entirely
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_comparison_battery_single_scan(spark, sf_dir):
