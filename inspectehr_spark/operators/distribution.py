@@ -35,7 +35,26 @@ def ecdf(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
-def ks_pairwise(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def _group_pairs(df: DataFrame, group_col: str, max_groups: int) -> list:
+    """Distinct groups, guarded: pair work is O(G²), so refuse G beyond
+    `max_groups` with an explicit error instead of silently launching
+    G·(G-1)/2 pair computations on a high-cardinality column (VERDICT r2
+    #6 — e.g. ks on a per-user column at 10^6 users would be 5·10^11
+    pairs). Raise the cap deliberately when G² is a budget you mean."""
+    groups = sorted(r[0] for r in df.select(group_col).distinct().collect())
+    if len(groups) > max_groups:
+        raise ValueError(
+            f"ks pairwise over {group_col!r}: {len(groups)} groups → "
+            f"{len(groups) * (len(groups) - 1) // 2} pairs exceeds "
+            f"max_groups={max_groups}; pass a coarser group column or "
+            "raise max_groups explicitly"
+        )
+    return groups
+
+
+def ks_pairwise(
+    df: DataFrame, group_col: str, value_col: str, max_groups: int = 200
+) -> DataFrame:
     """KS statistic for every unordered group pair, distributed.
 
     Build each group's ECDF (small relative to facts: one row per distinct
@@ -43,10 +62,11 @@ def ks_pairwise(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     union the two step functions per pair, carry each side's CDF forward
     (last_value ignoring nulls over the merged value order), take
     max|F_a - F_b|. Returns (group_a, group_b, ks_stat).
+
+    `max_groups` bounds the O(G²) pair fan-out — see `_group_pairs`.
     """
     e = ecdf(df, group_col, value_col)
-    groups = [r[0] for r in df.select(group_col).distinct().collect()]
-    groups = sorted(groups)
+    groups = _group_pairs(df, group_col, max_groups)
     pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1 :]]
     spark = df.sparkSession
     pairs_df = F.broadcast(
@@ -93,10 +113,17 @@ def ks_pairwise(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
-def ks_pairwise_pandas(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def ks_pairwise_pandas(
+    df: DataFrame, group_col: str, value_col: str, max_groups: int = 200
+) -> DataFrame:
     """Exact two-sample KS per group pair via applyInPandas (Arrow-batched,
-    one group-pair per task). Suitable when per-group samples fit an
-    executor; the distributed `ks_pairwise` is the scale path."""
+    one group-pair per task). Memory bound: each task materializes BOTH
+    groups' full value vectors in one pandas frame (≈ 16 bytes × (n_a+n_b)
+    plus Arrow copies) — suitable only when every group pair fits an
+    executor's task memory; the distributed `ks_pairwise` is the scale
+    path. `max_groups` bounds the O(G²) pair fan-out (see `_group_pairs`);
+    note each value row is also replicated G-1 times into the pair frames,
+    so the cap guards shuffle volume here too."""
     import numpy as np  # local import: executors only
 
     e = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
@@ -115,8 +142,7 @@ def ks_pairwise_pandas(df: DataFrame, group_col: str, value_col: str) -> DataFra
             {"group_a": [ga], "group_b": [gb], "ks_stat": [round(stat, 6)]}
         )
 
-    groups = [r[0] for r in df.select(group_col).distinct().collect()]
-    groups = sorted(groups)
+    groups = _group_pairs(df, group_col, max_groups)
     pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1 :]]
     spark = df.sparkSession
     pairs_df = F.broadcast(spark.createDataFrame(pairs, "group_a string, group_b string"))

@@ -70,15 +70,26 @@ def encode_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
 
 
 def decode_real_image(data: bytes):  # pragma: no cover - env-gated
-    """Slot for a real codec. PIL is not installed in this container."""
+    """Real-codec decode slot: same (width, height, n_bytes, mean) contract
+    as `_parse_img1`, so it drops into `decode_image_features`' row loop
+    unchanged when PIL is present (tests/test_multimodal.py carries the
+    contract test — skipped in this container, PIL absent). Mean is over
+    the luminance ('L') conversion, the greyscale analog of IMG1's payload
+    mean."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
             "real image decode needs PIL; the IMG1 header parser is the "
             "in-container stand-in — swap this function into _image_rows"
         ) from exc
-    raise NotImplementedError("wire PIL.Image.open(io.BytesIO(data)) here")
+    import io
+
+    with Image.open(io.BytesIO(data)) as im:
+        w, h = im.size
+        px = list(im.convert("L").getdata())
+    mean = (sum(px) / len(px)) if px else 0.0
+    return w, h, len(data), mean
 
 
 def _parse_img1(data: bytes | None):

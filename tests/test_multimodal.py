@@ -62,3 +62,35 @@ def test_size_bucket_partitioning(spark):
     df = M.with_size_buckets(_image_df(spark), "doc_id", 4)
     assert df.rdd.getNumPartitions() == 4
     assert df.count() == 4
+
+
+def test_real_codec_contract():
+    """When PIL is importable, decode_real_image must return the same
+    (width, height) tuple shape as the IMG1 parser — so it can be swapped
+    into decode_image_features unchanged. PIL is absent from this
+    container, so the PIL half is skipped here (documented in VERDICT r2
+    #8); the IMG1 half always runs."""
+    from inspectehr_spark.pipeline import multimodal as mm
+
+    w, h = 6, 4
+    img1 = mm.encode_image(w, h, seed=3)
+    pw, ph, pn, pmean = mm._parse_img1(img1)
+    assert (pw, ph, pn) == (w, h, len(img1))
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="needs PIL"):
+            mm.decode_real_image(img1)
+        pytest.skip("PIL absent in this container — PIL half of the contract skipped")
+
+    buf = io.BytesIO()
+    Image.new("L", (w, h), color=7).save(buf, format="PNG")
+    rw, rh, rn, rmean = mm.decode_real_image(buf.getvalue())
+    assert (rw, rh) == (w, h)
+    assert rn == len(buf.getvalue())
+    assert abs(rmean - 7.0) < 1e-9

@@ -379,3 +379,94 @@ def test_code_validators(spark):
     assert by_v["2.12.13.54.17"]["icnarc"] is True
     assert by_v["3.5.9"]["icnarc"] is False       # level1 ∉ [1,2]
     assert by_v["1.13.9"]["icnarc"] is False      # level2 ∉ [1,12]
+
+
+# --- round-3 guards: periodicity decomposition, battery strictness, KS cap,
+# --- near-dup hot-cell cap -------------------------------------------------
+
+def test_periodicity_failures_planted(spark):
+    """Per-event decomposition (reference R/evaluate_periodicity.R:48-94):
+    lt2-events user fails wholly; within a cadenced user, exactly the
+    events whose NEXT gap is too long (>12h at lo=2/day) or too short
+    (<0.5h at hi=48/day) fail; the last event has no verdict; equal
+    timestamps attribute the zero gap to the lower event_id."""
+    rows = [
+        (1, 100, "2024-01-01 08:00:00"),              # user 100: single → fails
+        (2, 200, "2024-01-01 00:00:00"),              # gap 1h → rate 24 → pass
+        (3, 200, "2024-01-01 01:00:00"),              # gap 13h → sparse fail
+        (4, 200, "2024-01-01 14:00:00"),              # gap 0.25h → dense fail
+        (5, 200, "2024-01-01 14:15:00"),              # last → no verdict
+        (6, 300, "2024-01-02 09:00:00"),              # tie: gap 0 → dense fail
+        (7, 300, "2024-01-02 09:00:00"),              # last of tie → no verdict
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.periodicity_failures(
+        df, "user_id", "ts", 2.0, 48.0, id_col="event_id"
+    )
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 3, 4, 6]
+    assert out.columns[-2:] == ["eval_code", "description"]
+
+
+def test_run_battery_surfaces_skipped_rules(spark):
+    """A rule with a typo'd column is reported (warning + battery_coverage)
+    and strict=True raises — never a silent drop (VERDICT r2 #5)."""
+    import warnings
+
+    from inspectehr_spark.operators.checks import battery_coverage, run_battery
+
+    df = spark.createDataFrame([(1, "x" * 60)], "doc_id long, text string") \
+        .withColumn("n_chars", F.length("text"))
+    good = Rule("doc_length", "VE_RC_01", "d", column="n_chars", lo=100, hi=1e6)
+    typo = Rule("doc_lenght", "VE_RC_01", "d", column="n_charz", lo=100, hi=1e6)
+
+    ok, skipped = battery_coverage(df, [good, typo])
+    assert [r.check_code for r in ok] == ["doc_length"]
+    assert [r.check_code for r in skipped] == ["doc_lenght"]
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = run_battery(df, [good, typo])
+        assert out.count() == 1  # the good rule still fires
+    assert any("doc_lenght" in str(w.message) and "n_charz" in str(w.message)
+               for w in caught)
+
+    with pytest.raises(ValueError, match="doc_lenght.*n_charz"):
+        run_battery(df, [good, typo], strict=True)
+
+
+def test_ks_pairwise_group_cap(spark):
+    """O(G²) fan-out is refused beyond max_groups with a clear error, on
+    both the distributed and the applyInPandas variant (VERDICT r2 #6)."""
+    df = spark.createDataFrame(
+        [(f"g{i:03d}", float(i % 7)) for i in range(40)], "g string, v double"
+    )
+    with pytest.raises(ValueError, match="40 groups.*max_groups=10"):
+        distribution.ks_pairwise(df, "g", "v", max_groups=10)
+    with pytest.raises(ValueError, match="max_groups=10"):
+        distribution.ks_pairwise_pandas(df, "g", "v", max_groups=10)
+    # raising the cap explicitly still works
+    out = distribution.ks_pairwise(df, "g", "v", max_groups=40)
+    assert out.count() == 40 * 39 // 2
+
+
+def test_embedding_near_dup_hot_cell_cap(spark):
+    """A planted hot cell (3000 identical-bucket vectors) is bounded by the
+    cap: pair output ≤ cap·(cap-1)/2 with the lowest-id keep, and
+    near_dup_cell_stats reports the drop count (VERDICT r2 #2)."""
+    from inspectehr_spark.ann import embedding_near_dup_pairs, near_dup_cell_stats
+
+    n, cap = 3000, 40
+    rows = [(i, [1.0, float(i % 5), 2.0], 0) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=-1.0, bucket_col="label", bucket_cap=cap
+    ).collect()
+    assert len(pairs) == cap * (cap - 1) // 2          # all-pairs inside the cap
+    assert max(max(r["vec_id_a"], r["vec_id_b"]) for r in pairs) == cap - 1
+
+    stats = near_dup_cell_stats(emb, bucket_col="label", bucket_cap=cap).collect()
+    assert len(stats) == 1
+    assert (stats[0]["n_vectors"], stats[0]["n_kept"], stats[0]["n_dropped"]) == (
+        n, cap, n - cap,
+    )
