@@ -290,6 +290,51 @@ def near_dup_cell_stats(
     )
 
 
+def _near_dup_cell_kernel(threshold: float, block: int = 1024):
+    """Per-cell pairwise-cosine kernel for the arrow engine: normalized
+    GEMM in float64, blocked so peak memory is block×cell doubles (a 2000-
+    row cell at block 1024 peaks ~16 MB), strict-upper-triangle mask in
+    index space (ids pre-sorted so index order == id order)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "vec_id_a": pd.Series(dtype="int64"),
+            "vec_id_b": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        }
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack(pdf["_v"].to_numpy()[order]).astype("float64")
+        norms = np.sqrt((V * V).sum(axis=1))
+        N = V / norms[:, None]
+        outs = []
+        n = len(ids)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            c = np.round(N[s:e] @ N.T, 6)
+            bi, bj = np.nonzero(c >= threshold)
+            keep = (bi + s) < bj
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id_a": ids[bi[keep] + s],
+                            "vec_id_b": ids[bj[keep]],
+                            "cos_sim": c[bi[keep], bj[keep]],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return fn
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.35,
@@ -297,6 +342,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int | None = None,
+    engine: str = "sql",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, BUCKETED: candidate pairs
     share a bucket (an IVF cell from `label_centroids`+assignment, an LSH
@@ -310,6 +356,24 @@ def embedding_near_dup_pairs(
     quantizer's: pairs split across buckets are missed — probe multiple
     cells (multi-assign) when the threshold is loose relative to cell
     diameter.
+
+    Two engines, identical pair semantics:
+
+    * ``engine="sql"`` — keyed self-join + HOF left-fold cosine. Matches
+      the DuckDB oracle's arithmetic exactly (left-to-right summation,
+      round-then-compare), so it backs the value-checked registry query.
+      BUT Spark higher-order functions have no codegen path: the per-pair
+      ``aggregate(zip_with(...))`` evaluates interpreted (measured at sf1:
+      a 20M-pair cell set joins in 1 s and spends ~280 s in the cosine on
+      local[32]). Correctness baseline, not the scale path.
+    * ``engine="arrow"`` — the SCALE PATH: one ``applyInPandas`` per cell,
+      normalized float64 GEMM (BLAS) with a blocked strict-upper-triangle
+      mask (`_near_dup_cell_kernel`) — two orders of magnitude faster on
+      the same pairs. Parallelism is per-cell, the natural unit when the
+      quantizer is sized so cells ≪ corpus. BLAS summation order differs
+      from the left-fold in the last ulp, so only a pair EXACTLY on the
+      6dp round/threshold boundary could differ between engines; the unit
+      test compares them pair-for-pair on the fixture corpus.
 
     Within-cell work is O(cell²); `bucket_cap` bounds it (VERDICT r2 #2):
     each cell keeps its `bucket_cap` lowest-id vectors via row_number —
@@ -336,6 +400,13 @@ def embedding_near_dup_pairs(
             .filter(F.col("_rn") <= bucket_cap)
             .drop("_rn")
         )
+    if engine == "arrow":
+        return staged.groupBy("_bkt").applyInPandas(
+            _near_dup_cell_kernel(threshold),
+            "vec_id_a long, vec_id_b long, cos_sim double",
+        )
+    if engine != "sql":
+        raise ValueError(f"engine must be 'sql' or 'arrow', got {engine!r}")
     # norms precompute ONCE per vector (before the self-join) — the pair
     # side then evaluates a single dot instead of three
     e = staged.withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))

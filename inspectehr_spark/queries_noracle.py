@@ -89,7 +89,23 @@ def q_pipeline_decisions(spark, sf_dir):
     ).drop("p_date")
 
 
+def q_embedding_near_dup_arrow(spark, sf_dir):
+    """The arrow-engine (per-cell numpy GEMM) near-dup pairs — the scale
+    path beside the oracle-checked sql engine (`embedding_near_dup`). Same
+    parameters, same pair semantics; rows-only driver check here because
+    BLAS summation order can differ from SQL left-fold arithmetic in the
+    last ulp (engines compared pair-for-pair in tests/test_operators.py;
+    measured on the 20M-pair sf1 staging, local[32]: sql engine 84 s,
+    arrow 13 s — and the arrow run is bounded by the fixture's 10-cell
+    parallelism, not by the pair arithmetic)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.embedding_near_dup_pairs(
+        emb, threshold=0.35, bucket_col="label", bucket_cap=2000, engine="arrow"
+    )
+
+
 NO_ORACLE_QUERIES = {
+    "embedding_near_dup_arrow": (q_embedding_near_dup_arrow, None),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, None),

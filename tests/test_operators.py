@@ -470,3 +470,24 @@ def test_embedding_near_dup_hot_cell_cap(spark):
     assert (stats[0]["n_vectors"], stats[0]["n_kept"], stats[0]["n_dropped"]) == (
         n, cap, n - cap,
     )
+
+
+def test_near_dup_engines_agree(spark, sf_dir):
+    """sql (HOF left-fold, oracle-exact) and arrow (per-cell numpy GEMM)
+    engines produce identical pair sets and 6dp cosines on the fixture
+    embeddings — the ulp caveat in the docstring never bites off the exact
+    round/threshold boundary."""
+    from inspectehr_spark.ann import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(threshold=0.2, bucket_col="label", bucket_cap=100)
+    sql_pairs = sorted(
+        (r["vec_id_a"], r["vec_id_b"], r["cos_sim"])
+        for r in embedding_near_dup_pairs(emb, engine="sql", **kw).collect()
+    )
+    arrow_pairs = sorted(
+        (r["vec_id_a"], r["vec_id_b"], r["cos_sim"])
+        for r in embedding_near_dup_pairs(emb, engine="arrow", **kw).collect()
+    )
+    assert sql_pairs == arrow_pairs
+    assert len(sql_pairs) > 0
