@@ -70,7 +70,100 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_asof_last_view(spark, sf_dir):
+    """As-of join (operators/asof.py — union + carry-forward, ONE shuffle,
+    no join node): every purchase event annotated with the latest view
+    event of the same user at-or-before it. The right side collapses to
+    one row per (user, ts) first (max event_id) so the match is engine-
+    independent under timestamp ties."""
+    from inspectehr_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["view_event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_view_event_id").alias("view_event_id"),
+        F.col("asof_ts").alias("view_ts"),
+    )
+
+
+SQL_ASOF_LAST_VIEW = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.ts AS view_ts
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_daily_type_rollup(spark, sf_dir):
+    """Multi-resolution rollup (the hypertable-rollup analog): event counts
+    at (event_type, day), (event_type) and grand-total grain in ONE pass —
+    Spark's rollup compiles to a single Expand + aggregate, i.e. one scan
+    and one shuffle for all three resolutions instead of three jobs."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("event_type", F.col("day").cast("string").alias("day"), "n_events")
+    )
+
+
+SQL_DAILY_TYPE_ROLLUP = """
+SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+"""
+
+
+def q_value_percentiles(spark, sf_dir):
+    """EXACT distributed percentiles per group (Spark's sort-based
+    `percentile` aggregate — R-7 linear interpolation, the same definition
+    as DuckDB quantile_cont), not approx_percentile: the value oracle
+    hash-matches, which a sketch never could. Scale note: exact percentile
+    shuffles (group, value) pairs and sorts within group — use it per
+    bounded group; corpus-wide quantiles at 10^12 rows take
+    approx_percentile + an error budget instead."""
+    ev = _t(spark, sf_dir, "events")
+    pct = [0.25, 0.5, 0.75, 0.9]
+    out = ev.groupBy("event_type").agg(
+        F.percentile("value", pct).alias("_q")
+    )
+    return out.select(
+        "event_type",
+        *[F.round(F.col("_q")[i], 6).alias(f"p{int(p * 100)}") for i, p in enumerate(pct)],
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont("value", 0.25), 6) AS p25,
+       ROUND(quantile_cont("value", 0.50), 6) AS p50,
+       ROUND(quantile_cont("value", 0.75), 6) AS p75,
+       ROUND(quantile_cont("value", 0.90), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
 R3_QUERIES = {
     "periodicity_failures": (q_periodicity_failures, SQL_PERIODICITY_FAILURES),
     "near_dup_cells": (q_near_dup_cells, SQL_NEAR_DUP_CELLS),
+    "asof_last_view": (q_asof_last_view, SQL_ASOF_LAST_VIEW),
+    "daily_type_rollup": (q_daily_type_rollup, SQL_DAILY_TYPE_ROLLUP),
+    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
 }

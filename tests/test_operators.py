@@ -491,3 +491,40 @@ def test_near_dup_engines_agree(spark, sf_dir):
     )
     assert sql_pairs == arrow_pairs
     assert len(sql_pairs) > 0
+
+
+def test_asof_join_planted(spark):
+    """Backward-inclusive as-of semantics on planted rows: exact-ts match
+    is taken (inclusive), earlier rows carry forward, no-match yields
+    NULLs, and tolerance nulls out stale matches after the carry."""
+    from inspectehr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"),
+         (2, 10, "2024-01-01 12:00:00"),
+         (3, 20, "2024-01-01 09:00:00"),
+         (4, 30, "2024-01-01 09:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(100, 10, "2024-01-01 10:00:00"),   # exact tie with event 1
+         (101, 10, "2024-01-01 08:00:00"),
+         (102, 20, "2024-01-01 09:30:00")],  # after event 3 → no match
+        "rid long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {r["event_id"]: r for r in asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts", payload=["rid"]
+    ).collect()}
+    assert out[1]["asof_rid"] == 100            # inclusive tie
+    assert out[2]["asof_rid"] == 100            # carried forward
+    assert out[3]["asof_rid"] is None           # right is later
+    assert out[4]["asof_rid"] is None           # key absent
+    assert out[2]["asof_ts"] == dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    tol = {r["event_id"]: r for r in asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["rid"], tolerance_sec=3600.0,
+    ).collect()}
+    assert tol[1]["asof_rid"] == 100            # 0s old: kept
+    assert tol[2]["asof_rid"] is None           # 2h old: nulled by tolerance

@@ -137,3 +137,16 @@ def test_keep_drop_two_exchanges_max(spark, sf_dir):
     fn, _ = QUERIES["keep_drop"]
     df = fn(spark, sf_dir)
     assert inspect.exchange_count(df) <= 3, inspect.formatted_plan(df)
+
+
+def test_periodicity_failures_single_entity_shuffle(spark, sf_dir):
+    """The per-event periodicity decomposition shares ONE hash exchange on
+    the entity between its count window and its lead window."""
+    import re
+
+    fn, _ = QUERIES["periodicity_failures"]
+    plan = inspect.formatted_plan(fn(spark, sf_dir))
+    args = re.findall(r"Arguments: hashpartitioning\(([^,)]+)[,)]", plan)
+    keys = [a.split("#")[0] for a in args]
+    assert keys.count("user_id") <= 1, keys
+    assert inspect.exchange_count(fn(spark, sf_dir)) <= 1
