@@ -1,11 +1,15 @@
 """As-of join: for each left row, the latest right row at-or-before its
-timestamp, per key — the operator Spark's DataFrame API lacks natively
-(pandas merge_asof / DuckDB ASOF JOIN / kdb aj equivalent).
+timestamp (backward), the earliest at-or-after (forward), or the closer
+of the two (nearest), per key — the operator Spark's DataFrame API lacks
+natively (pandas merge_asof / DuckDB ASOF JOIN / kdb aj equivalent).
 
 Implementation is the UNION + CARRY-FORWARD formulation, not a join:
 tag both sides, union them, and run ONE window per key ordered by
 (ts, side) that carries the last right-side payload forward; left rows
-then read their as-of match from the carried columns. Compared to the
+then read their as-of match from the carried columns. The forward
+direction is the same window scanned descending; nearest evaluates both
+over the SAME exchange (two Sort nodes, one hash partitioning — Spark
+reuses the exchange for sibling windows on the same key). Compared to the
 range-join formulation (equi-join on key + ts inequality + row_number),
 this shuffles each input row exactly once, never materializes the
 O(left × right-per-key) candidate set, and needs no range-bucketing
@@ -30,21 +34,28 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     tolerance_sec: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (inclusive) as-of join.
+    """As-of join in the given `direction` ("backward", "forward",
+    "nearest").
 
     Returns `left` plus, for each row, `asof_<c>` for each payload column
-    of the right row having the greatest `right_ts` <= `left_ts` for the
-    same `key` (NULL when none), and `asof_ts` (the matched timestamp). With
-    `tolerance_sec`, matches older than the tolerance are nulled out —
-    AFTER the carry-forward, so it is a projection, not a different scan.
+    of the matched right row (NULL when none) and `asof_ts` (the matched
+    timestamp). Backward matches the greatest `right_ts` <= `left_ts` per
+    `key`; forward the least `right_ts` >= `left_ts`; nearest whichever
+    of the two is closer in time (ties go backward). With
+    `tolerance_sec`, matches farther than the tolerance are nulled out —
+    AFTER the carry, so it is a projection, not a different scan; for
+    nearest it is applied per side BEFORE choosing the closer one.
 
     Determinism: when several right rows share the matching timestamp the
-    survivor is the last under (right_ts, *payload) ordering — collapse
-    the right side to one row per (key, ts) first if another tiebreak is
-    wanted. Left rows tie-break AFTER right rows at the same timestamp
-    (side ordering right=0 < left=1), which is what makes the join
+    survivor is the last under the window's (right_ts, *payload) ordering
+    — collapse the right side to one row per (key, ts) first if another
+    tiebreak is wanted. Left rows tie-break AFTER right rows at the same
+    timestamp in both directions, which is what makes the match
     inclusive."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     lcols = left.columns
     l = left.select(
         F.col(key).alias("_k"),
@@ -62,32 +73,82 @@ def asof_join(
         *[F.col(c).alias(f"_p_{c}") for c in payload],
         F.col(right_ts).alias("_p_ts"),
     )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side", *[f"_p_{c}" for c in payload])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned = l.unionByName(r)
+
+    def carried_cols(dir_: str, suffix: str):
+        # Backward scans ascending; forward scans descending. In both, a
+        # right row at the same _ts as a left row sorts BEFORE it
+        # (side 0 < 1 ascending; descending negates the side too, so flip
+        # its sign) — inclusive match either way.
+        if dir_ == "backward":
+            order = [F.col("_ts").asc(), F.col("_side").asc()] + [
+                F.col(f"_p_{c}").asc() for c in payload
+            ]
+        else:
+            order = [F.col("_ts").desc(), F.col("_side").asc()] + [
+                F.col(f"_p_{c}").asc() for c in payload
+            ]
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return [
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_{suffix}_{c}")
+            for c in payload
+        ] + [F.last("_p_ts", ignorenulls=True).over(w).alias(f"_{suffix}_ts")]
+
+    dirs = ("b", "f") if direction == "nearest" else (
+        ("b",) if direction == "backward" else ("f",)
     )
-    carried = l.unionByName(r).select(
+    carried = unioned.select(
         "_side",
         "_l",
         *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            c
+            for s in dirs
+            for c in carried_cols("backward" if s == "b" else "forward", s)
+        ],
+    ).filter(F.col("_side") == 1)
+
+    def gap_us(suffix: str):
+        g = F.unix_micros(F.col(f"_{suffix}_ts").cast("timestamp")) - F.unix_micros(
+            F.col("_l")[left_ts].cast("timestamp")
+        )
+        return F.abs(g)
+
+    def within(suffix: str):
+        # coalesce to FALSE: an unmatched side carries NULL, and a NULL
+        # tolerance comparison would poison the nearest-side three-valued
+        # logic (NULL & x, ~NULL) into selecting neither side
+        if tolerance_sec is None:
+            return F.col(f"_{suffix}_ts").isNotNull()
+        return F.coalesce(
+            F.col(f"_{suffix}_ts").isNotNull()
+            & (gap_us(suffix) <= tolerance_sec * 1e6),
+            F.lit(False),
+        )
+
+    if direction != "nearest":
+        s = dirs[0]
+        ok = within(s)
+        return carried.select(
+            *[F.col("_l")[c].alias(c) for c in lcols],
+            *[F.when(ok, F.col(f"_{s}_{c}")).alias(f"asof_{c}") for c in payload],
+            F.when(ok, F.col(f"_{s}_ts")).alias("asof_ts"),
+        )
+
+    b_ok, f_ok = within("b"), within("f")
+    # prefer backward on ties; a side out of tolerance (or unmatched) loses
+    use_b = b_ok & (~f_ok | (gap_us("b") <= gap_us("f")))
+    use_f = f_ok & ~use_b
+    return carried.select(
+        *[F.col("_l")[c].alias(c) for c in lcols],
+        *[
+            F.when(use_b, F.col(f"_b_{c}"))
+            .when(use_f, F.col(f"_f_{c}"))
+            .alias(f"asof_{c}")
             for c in payload
         ],
-        F.last("_p_ts", ignorenulls=True).over(w).alias("_c_ts"),
-    )
-    out = carried.filter(F.col("_side") == 1)
-    within = (
-        F.lit(True)
-        if tolerance_sec is None
-        else (
-            F.unix_micros(F.col("_l")[left_ts].cast("timestamp"))
-            - F.unix_micros(F.col("_c_ts").cast("timestamp"))
-        )
-        <= tolerance_sec * 1e6
-    )
-    return out.select(
-        *[F.col("_l")[c].alias(c) for c in lcols],
-        *[F.when(within, F.col(f"_c_{c}")).alias(f"asof_{c}") for c in payload],
-        F.when(within, F.col("_c_ts")).alias("asof_ts"),
+        F.when(use_b, F.col("_b_ts")).when(use_f, F.col("_f_ts")).alias("asof_ts"),
     )

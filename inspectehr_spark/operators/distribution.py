@@ -173,3 +173,84 @@ def drift_flags(
         .filter(F.col("min_ks") > threshold)
         .select(F.col("g").alias("group"), "min_ks")
     )
+
+
+def psi_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ref_group: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index of every group against `ref_group`:
+    PSI = Σ_bins (p_i − q_i) · ln(p_i/q_i), the standard model-monitoring
+    drift score (complement of the KS battery above: KS is the sup-norm on
+    CDFs, PSI a binned KL symmetrization — cheap enough to run per column
+    per partition on every pipeline run).
+
+    Bins are fixed-width over the GLOBAL [min, max] (deterministic and
+    engine-independent, unlike quantile bins whose edge interpolation
+    differs per engine); both distributions are ε-smoothed so empty bins
+    contribute finitely. Plan shape: one global min/max aggregate
+    broadcast into a projection, ONE groupBy(group, bin) count, then a
+    broadcast join of the reference row vector — a single shuffle of
+    G×n_bins rows regardless of data size."""
+    v = F.col(value_col).cast("double")
+    rng = df.agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    binned = df.crossJoin(F.broadcast(rng)).select(
+        F.col(group_col).alias("_g"),
+        F.least(
+            F.greatest(
+                F.floor(
+                    (v - F.col("_lo"))
+                    / ((F.col("_hi") - F.col("_lo")) / n_bins)
+                ),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        ).cast("long").alias("_bin"),
+    )
+    dist = (
+        binned.groupBy("_g", "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_p",
+            F.col("_c")
+            / F.sum("_c").over(Window.partitionBy("_g")),
+        )
+    )
+    ref = dist.filter(F.col("_g") == ref_group).select(
+        F.col("_bin").alias("_rbin"), F.col("_p").alias("_q")
+    )
+    # dense bin universe per group so bins empty on ONE side still score
+    bins_df = dist.sparkSession.range(n_bins).select(
+        F.col("id").alias("_bin")
+    )
+    groups = dist.select("_g").distinct()
+    full = (
+        groups.crossJoin(F.broadcast(bins_df))
+        .join(dist, ["_g", "_bin"], "left")
+        .join(
+            F.broadcast(ref),
+            F.col("_bin") == F.col("_rbin"),
+            "left",
+        )
+        .select(
+            "_g",
+            (F.coalesce(F.col("_p"), F.lit(0.0)) + eps).alias("_pp"),
+            (F.coalesce(F.col("_q"), F.lit(0.0)) + eps).alias("_qq"),
+        )
+    )
+    return (
+        full.groupBy("_g")
+        .agg(
+            F.round(
+                F.sum((F.col("_pp") - F.col("_qq")) * F.log(F.col("_pp") / F.col("_qq"))),
+                6,
+            ).alias("psi")
+        )
+        .select(F.col("_g").alias(group_col), "psi")
+    )

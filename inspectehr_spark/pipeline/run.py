@@ -27,17 +27,14 @@ flag_exact_duplicates docstring).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from inspectehr_spark.functions.textfns import ALL_STOPWORDS, word_ngrams
 from inspectehr_spark.pipeline import spec
-from inspectehr_spark.pipeline.models import (
-    extract_text_udf,
-    langid_udf,
-    perplexity_udf,
-)
+from inspectehr_spark.pipeline.models import extract_score_udf
 from inspectehr_spark.pipeline.scrub import scrub_text
 
 
@@ -69,7 +66,12 @@ def enrich(pages: DataFrame) -> DataFrame:
     ).otherwise(F.lit(0.0))
 
     return (
-        pages.withColumn("text_x", extract_text_udf("html"))
+        # ONE fused Arrow UDF (extract + langid + perplexity): each row
+        # crosses the JVM⇄Python boundary once — with separate UDFs the
+        # socket syscall path was >half the 8-core CPU (see
+        # models.extract_score_udf).
+        pages.withColumn("_m", extract_score_udf("html"))
+        .withColumn("text_x", F.col("_m.text_x"))
         .withColumn(
             "_toks", F.filter(F.split(F.col("text_x"), " "), lambda t: t != "")
         )
@@ -82,10 +84,10 @@ def enrich(pages: DataFrame) -> DataFrame:
             sym_ratio.alias("symbol_ratio"),
             sw_ratio.alias("stopword_ratio"),
             dupng.alias("dup_ngram_frac"),
-            langid_udf("text_x").alias("lang_pred"),
-            perplexity_udf("text_x").alias("perplexity"),
+            F.col("_m.lang_pred").alias("lang_pred"),
+            F.col("_m.perplexity").alias("perplexity"),
         )
-        .drop("_toks", "_tris")
+        .drop("_toks", "_tris", "_m")
     )
 
 
@@ -225,6 +227,15 @@ def run_pipeline(
     reprocessed — exactly-once per partition either way.
     Returns {"partitions_processed": k, "rows": n}.
     """
+    t: dict[str, float] = {}
+    t0 = time.perf_counter()
+
+    def _mark(key: str) -> None:
+        nonlocal t0
+        now = time.perf_counter()
+        t[key] = round(now - t0, 3)
+        t0 = now
+
     pages = spark.read.parquet(pages_path).withColumn(
         "p_date", F.to_date("warc_ts").cast("string")
     )
@@ -246,8 +257,10 @@ def run_pipeline(
 
     # cheap emptiness probe (1 row) instead of an eager full distinct-count
     # job — the partition count comes from the cached result at the end
-    if not pages.take(1):
-        return {"partitions_processed": 0, "rows": 0}
+    probe_empty = not pages.take(1)
+    _mark("t_probe")
+    if probe_empty:
+        return {"partitions_processed": 0, "rows": 0, "timings": t}
 
     if salt_partitions:
         # Giant-HTML skew guard: spread rows uniformly; Arrow batch size
@@ -256,28 +269,46 @@ def run_pipeline(
             salt_partitions, F.pmod(F.xxhash64("url"), F.lit(salt_partitions))
         )
 
-    flagged = failure_flags(flag_exact_duplicates(enrich(pages)))
+    # Drop the columns no sink reads before persisting: html is the widest
+    # column in the table and text/warc_ts/lang are already folded into
+    # text_x/p_date/flags — caching them would multiply the cache footprint
+    # (and its build-time compression cost) for bytes nothing reads.
+    flagged = failure_flags(flag_exact_duplicates(enrich(pages))).drop(
+        "html", "text", "warc_ts", "lang"
+    )
     flagged = flagged.persist()
     try:
         decisions = decide(flagged)
         log = failure_log(flagged)
         mets = metrics_table(flagged)
 
-        # Cluster by the partition column before the partitioned write:
-        # otherwise every shuffle partition emits a file into every p_date
-        # dir (tasks × dates small files, and a serial commit storm). One
-        # task per date here; at real scale add a salt column sized to the
-        # target file size (e.g. 512 MB) per date.
-        decisions.repartition(F.col("p_date")).write.mode("append").partitionBy(
-            "p_date"
-        ).parquet(os.path.join(out_dir, "decisions"))
-        log.repartition(F.col("p_date")).write.mode("append").partitionBy(
+        # Cluster by (partition column, bounded salt) before the partitioned
+        # write. Clustering by p_date ALONE caps the write stage at
+        # #distinct-dates tasks — with a handful of hot dates the parquet
+        # encode of the scrubbed text runs on that many cores no matter the
+        # cluster size (measured: the 8-core wall stopped scaling on a
+        # 10-date corpus where 4 dates held 96% of rows). The salt spreads
+        # each date over ~defaultParallelism writers while keeping files-
+        # per-date bounded (≈ salt width, NOT tasks × dates); at 100 TB
+        # size the salt so each writer lands ~512 MB files.
+        wsalt = F.pmod(
+            F.xxhash64("url"),
+            F.lit(max(2, spark.sparkContext.defaultParallelism)),
+        )
+        decisions.repartition(F.col("p_date"), wsalt).write.mode(
+            "append"
+        ).partitionBy("p_date").parquet(os.path.join(out_dir, "decisions"))
+        _mark("t_decisions")
+        log.repartition(F.col("p_date"), wsalt).write.mode("append").partitionBy(
             "p_date"
         ).parquet(os.path.join(out_dir, "failures"))
+        _mark("t_failures")
         mets.repartition(F.col("partition_id")).write.mode("append").partitionBy(
             "partition_id"
         ).parquet(os.path.join(out_dir, "metrics"))
+        _mark("t_metrics")
         n_rows = flagged.count()
+        _mark("t_count")
         # Collect the processed-partition ids BEFORE appending the manifest:
         # flagged's lineage contains the resume anti-join against the
         # manifest, so any recomputation after the append would see its own
@@ -288,10 +319,11 @@ def run_pipeline(
         ).withColumn("completed_at", F.current_timestamp()).write.mode(
             "append"
         ).parquet(manifest_path)
+        _mark("t_manifest")
         n_parts = len(done)
     finally:
         flagged.unpersist()
-    return {"partitions_processed": n_parts, "rows": n_rows}
+    return {"partitions_processed": n_parts, "rows": n_rows, "timings": t}
 
 
 def _exists(spark: SparkSession, path: str) -> bool:

@@ -160,10 +160,211 @@ FROM events GROUP BY event_type
 """
 
 
+def q_word_dup_stats(spark, sf_dir):
+    """Gopher duplicate-segment mass (operators/webrules.segment_dup_stats)
+    at word granularity over the single-line documents fixture (sep=" " —
+    the same operator serves sep="\\n" on real web pages): per-doc segment
+    counts, duplicate-slot fraction, and duplicate-character mass, computed
+    ZERO-shuffle by adjacent comparison over the sorted segment array."""
+    from inspectehr_spark.operators.webrules import segment_dup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return segment_dup_stats(docs, "text", sep=" ", prefix="seg").select(
+        "doc_id", "seg_total", "seg_distinct", "seg_dup_frac", "seg_dup_char_frac"
+    )
+
+
+SQL_WORD_DUP_STATS = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+per AS (
+  SELECT doc_id, w, count(*) AS c, length(w) AS l FROM w GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS seg_total,
+       CAST(count(*) AS BIGINT) AS seg_distinct,
+       ROUND(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS seg_dup_frac,
+       CASE WHEN sum(c * l) > 0
+            THEN ROUND(sum(CASE WHEN c > 1 THEN c * l ELSE 0 END)
+                       / CAST(sum(c * l) AS DOUBLE), 6)
+            ELSE 0.0 END AS seg_dup_char_frac
+FROM per GROUP BY doc_id
+"""
+
+
+def q_line_scrub(spark, sf_dir):
+    """C4-style line scrub (operators/webrules.line_scrub): lines derived
+    deterministically from the fixture by breaking on ' the ' (both
+    engines; the operator itself is sep-generic), keep lines of >= 4
+    whitespace words, rebuild the doc. Pure zero-shuffle projection."""
+    from inspectehr_spark.operators.webrules import line_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " the ", "\n").alias("text")
+    )
+    return line_scrub(docs, "text", sep="\n", min_words=4).select(
+        "doc_id", "lines_total", "lines_kept", "scrubbed"
+    )
+
+
+SQL_LINE_SCRUB = """
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, ' the ', chr(10), 'g'), chr(10)) AS segs
+  FROM documents
+),
+k AS (
+  SELECT doc_id, segs,
+         list_filter(segs, x -> len(string_split(x, ' ')) >= 4) AS kept
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(segs) AS BIGINT) AS lines_total,
+       CAST(len(kept) AS BIGINT) AS lines_kept,
+       array_to_string(kept, chr(10)) AS scrubbed
+FROM k
+"""
+
+
+def q_dedup_within_doc(spark, sf_dir):
+    """Segment-level dedup + rebuild (operators/webrules.dedup_segments,
+    scope="doc"): every word keeps only its first occurrence per document
+    and the text is rebuilt in original order — the RefinedWeb paragraph-
+    dedup shape, value-checked end-to-end including the rebuilt string."""
+    from inspectehr_spark.operators.webrules import dedup_segments
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_segments(
+        docs, "doc_id", "text", sep=" ", scope="doc"
+    ).select("doc_id", "lines_total", "lines_kept", "text_deduped")
+
+
+SQL_DEDUP_WITHIN_DOC = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS seg,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+r AS (
+  SELECT doc_id, seg, pos,
+         row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS rn
+  FROM w
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS lines_total,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lines_kept,
+       string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos) AS text_deduped
+FROM r GROUP BY doc_id
+"""
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index of every event_type's value distribution
+    against the 'view' reference (operators/distribution.psi_by_group):
+    fixed-width global bins (engine-independent, unlike quantile bins),
+    ε-smoothed, one shuffle of G×bins rows."""
+    from inspectehr_spark.operators.distribution import psi_by_group
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return psi_by_group(ev, "event_type", "value", ref_group="view", n_bins=10)
+
+
+SQL_PSI_DRIFT = """
+WITH src AS (
+  SELECT event_type, CAST("value" AS DOUBLE) AS v FROM events
+  WHERE "value" IS NOT NULL
+),
+rng AS (SELECT min(v) AS lo, max(v) AS hi FROM src),
+b AS (
+  SELECT event_type AS g,
+         CAST(least(greatest(floor((v - lo) / ((hi - lo) / 10)), 0), 9) AS BIGINT) AS bin
+  FROM src, rng
+),
+dist AS (SELECT g, bin, count(*) AS c FROM b GROUP BY g, bin),
+tot AS (SELECT g, sum(c) AS t FROM dist GROUP BY g),
+p AS (SELECT dist.g, bin, c / CAST(t AS DOUBLE) AS p FROM dist JOIN tot ON dist.g = tot.g),
+grid AS (
+  SELECT gs.g, r.range AS bin
+  FROM (SELECT DISTINCT g FROM p) gs, range(10) r
+),
+full_grid AS (
+  SELECT grid.g,
+         COALESCE(mine.p, 0) + 1e-6 AS pp,
+         COALESCE(ref.p, 0) + 1e-6 AS qq
+  FROM grid
+  LEFT JOIN p mine ON mine.g = grid.g AND mine.bin = grid.bin
+  LEFT JOIN p ref ON ref.g = 'view' AND ref.bin = grid.bin
+)
+SELECT g AS event_type, ROUND(sum((pp - qq) * ln(pp / qq)), 6) AS psi
+FROM full_grid GROUP BY g
+"""
+
+
+def q_near_dup_components(spark, sf_dir):
+    """Duplicate CLUSTERS from the embedding near-dup pair set
+    (operators/graph.connected_components — iterative min-label
+    propagation, each round pure DataFrame algebra): component = smallest
+    reachable vec_id, value-checked against a DuckDB recursive CTE over
+    the SAME pair set."""
+    from inspectehr_spark.ann import embedding_near_dup_pairs
+    from inspectehr_spark.operators.graph import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.35, bucket_col="label", bucket_cap=2000
+    )
+    return connected_components(pairs, src="vec_id_a", dst="vec_id_b").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+SQL_NEAR_DUP_COMPONENTS = """
+WITH RECURSIVE capped AS (
+  SELECT vec_id, label, embedding FROM (
+    SELECT vec_id, label, embedding,
+           ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= 2000
+),
+e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM capped
+),
+pairs AS (
+  SELECT vec_id_a, vec_id_b FROM (
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  ) WHERE cos_sim >= 0.35
+),
+edges AS (
+  SELECT vec_id_a AS a, vec_id_b AS b FROM pairs
+  UNION
+  SELECT vec_id_b, vec_id_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.n, e2.b FROM reach r JOIN edges e2 ON r.m = e2.a
+)
+SELECT CAST(n AS BIGINT) AS node, CAST(min(m) AS BIGINT) AS component
+FROM reach GROUP BY n
+"""
+
+
 R3_QUERIES = {
     "periodicity_failures": (q_periodicity_failures, SQL_PERIODICITY_FAILURES),
     "near_dup_cells": (q_near_dup_cells, SQL_NEAR_DUP_CELLS),
     "asof_last_view": (q_asof_last_view, SQL_ASOF_LAST_VIEW),
     "daily_type_rollup": (q_daily_type_rollup, SQL_DAILY_TYPE_ROLLUP),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
+    "word_dup_stats": (q_word_dup_stats, SQL_WORD_DUP_STATS),
+    "line_scrub": (q_line_scrub, SQL_LINE_SCRUB),
+    "dedup_within_doc": (q_dedup_within_doc, SQL_DEDUP_WITHIN_DOC),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
 }

@@ -528,3 +528,154 @@ def test_asof_join_planted(spark):
     ).collect()}
     assert tol[1]["asof_rid"] == 100            # 0s old: kept
     assert tol[2]["asof_rid"] is None           # 2h old: nulled by tolerance
+
+
+def test_connected_components_planted(spark):
+    """A 4-node chain (needs multiple propagation rounds) + a separate
+    pair: labels converge to the min reachable id."""
+    from inspectehr_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_psi_identity_and_shift(spark):
+    """PSI of the reference group against itself is exactly 0; a shifted
+    distribution scores positive."""
+    from inspectehr_spark.operators.distribution import psi_by_group
+
+    rows = [("ref", float(v)) for v in range(100)] + [
+        ("shifted", float(v) + 60.0) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r["psi"] for r in psi_by_group(df, "g", "v", "ref").collect()}
+    assert got["ref"] == 0.0
+    assert got["shifted"] > 1.0
+
+
+def test_asof_join_forward_nearest(spark):
+    """Forward matches the earliest right row at-or-after; nearest picks
+    the closer side, ties to backward, tolerance applied per side."""
+    from inspectehr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"),
+         (2, 10, "2024-01-01 12:00:00"),
+         (3, 20, "2024-01-01 09:00:00"),
+         (5, 10, "2024-01-01 09:00:00")],   # equidistant: 08:00 vs 10:00
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(100, 10, "2024-01-01 10:00:00"),
+         (101, 10, "2024-01-01 08:00:00"),
+         (102, 20, "2024-01-01 09:30:00")],
+        "rid long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    fwd = {r["event_id"]: r for r in asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["rid"], direction="forward",
+    ).collect()}
+    assert fwd[1]["asof_rid"] == 100            # inclusive exact match
+    assert fwd[2]["asof_rid"] is None           # nothing at-or-after
+    assert fwd[3]["asof_rid"] == 102
+    assert fwd[5]["asof_rid"] == 100
+
+    near = {r["event_id"]: r for r in asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["rid"], direction="nearest",
+    ).collect()}
+    assert near[2]["asof_rid"] == 100           # only backward exists
+    assert near[3]["asof_rid"] == 102           # only forward exists
+    assert near[5]["asof_rid"] == 101           # 1h tie → backward
+
+    tol = {r["event_id"]: r for r in asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["rid"], direction="nearest", tolerance_sec=1800.0,
+    ).collect()}
+    assert tol[2]["asof_rid"] is None           # 2h backward out of tolerance
+    assert tol[3]["asof_rid"] == 102            # 30min forward within
+    assert tol[5]["asof_rid"] is None           # both sides 1h away
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, key="user_id", left_ts="ts", right_ts="ts",
+                  payload=["rid"], direction="sideways")
+
+
+@pytest.fixture()
+def webdocs(spark):
+    """Two planted multi-line docs: doc 1 has an exact duplicate line, a
+    too-short line, and a long terminal-punctuated line; doc 2 shares the
+    short line with doc 1 (cross-doc survivor check)."""
+    return spark.createDataFrame(
+        [
+            (1, "big cat sat.\nbig cat sat.\ntiny\nthe dog ran far away."),
+            (2, "tiny\nnew line here."),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_segment_dup_stats_planted(spark, webdocs):
+    """Exact Gopher duplicate-line stats: 'big cat sat.' (12 chars)
+    appears twice among 4 lines totalling 49 chars."""
+    from inspectehr_spark.operators.webrules import segment_dup_stats
+
+    out = {
+        r["doc_id"]: r
+        for r in segment_dup_stats(webdocs, "text", sep="\n").collect()
+    }
+    assert out[1]["seg_total"] == 4
+    assert out[1]["seg_distinct"] == 3
+    assert out[1]["seg_dup_frac"] == 0.25
+    assert out[1]["seg_dup_char_frac"] == round(24 / 49, 6)
+    assert out[2]["seg_dup_frac"] == 0.0
+    assert out[2]["seg_dup_char_frac"] == 0.0
+
+
+def test_line_scrub_terminal(spark, webdocs):
+    """C4 terminal-punctuation mode: keeps >=3-word lines ending in
+    punctuation, drops 'tiny', rebuilds with the separator."""
+    from inspectehr_spark.operators.webrules import line_scrub
+
+    out = {
+        r["doc_id"]: r
+        for r in line_scrub(
+            webdocs, "text", sep="\n", min_words=3, require_terminal=True
+        ).collect()
+    }
+    assert (out[1]["lines_total"], out[1]["lines_kept"]) == (4, 3)
+    assert out[1]["scrubbed"] == "big cat sat.\nbig cat sat.\nthe dog ran far away."
+    assert (out[2]["lines_total"], out[2]["lines_kept"]) == (2, 1)
+    assert out[2]["scrubbed"] == "new line here."
+
+
+def test_dedup_segments_doc_and_corpus(spark, webdocs):
+    """Doc scope keeps one 'big cat sat.' inside doc 1; corpus scope
+    additionally awards 'tiny' to doc 1 (lowest (id, pos)), leaving doc 2
+    rebuilt without it."""
+    from inspectehr_spark.operators.webrules import dedup_segments
+
+    doc = {
+        r["doc_id"]: r
+        for r in dedup_segments(webdocs, "doc_id", "text", sep="\n").collect()
+    }
+    assert doc[1]["text_deduped"] == "big cat sat.\ntiny\nthe dog ran far away."
+    assert (doc[1]["lines_total"], doc[1]["lines_kept"]) == (4, 3)
+    assert doc[2]["text_deduped"] == "tiny\nnew line here."
+
+    corpus = {
+        r["doc_id"]: r
+        for r in dedup_segments(
+            webdocs, "doc_id", "text", sep="\n", scope="corpus"
+        ).collect()
+    }
+    assert corpus[1]["text_deduped"] == "big cat sat.\ntiny\nthe dog ran far away."
+    assert corpus[2]["text_deduped"] == "new line here."
+    assert (corpus[2]["lines_total"], corpus[2]["lines_kept"]) == (2, 1)

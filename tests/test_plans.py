@@ -150,3 +150,30 @@ def test_periodicity_failures_single_entity_shuffle(spark, sf_dir):
     keys = [a.split("#")[0] for a in args]
     assert keys.count("user_id") <= 1, keys
     assert inspect.exchange_count(fn(spark, sf_dir)) <= 1
+
+
+def test_webrules_projections_zero_shuffle(spark, sf_dir):
+    """segment_dup_stats and line_scrub are pure per-row projections —
+    no Exchange anywhere in their plans."""
+    for name in ("word_dup_stats", "line_scrub"):
+        fn, _ = QUERIES[name]
+        df = fn(spark, sf_dir)
+        assert inspect.exchange_count(df) == 0, (name, inspect.formatted_plan(df))
+
+
+def test_dedup_segments_corpus_hash_keyed(spark, sf_dir):
+    """Corpus-scope segment dedup partitions its survivorship window by
+    the xxhash64 pair, never the raw segment text."""
+    from inspectehr_spark.operators.webrules import dedup_segments
+    from inspectehr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    plan = inspect.formatted_plan(
+        dedup_segments(docs, "doc_id", "text", sep=" ", scope="corpus")
+    )
+    import re
+
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        if "xxhash64" in m:
+            continue
+        assert "seg#" not in m, m

@@ -1,0 +1,85 @@
+"""Snapshot-manifest tables (sources/snapshots.py): atomic versioned
+commits, time travel, rollback, crash/concurrency isolation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from inspectehr_spark.sources import snapshots as snap
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 10 AS v")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_append_time_travel_replace_rollback(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v1 = snap.append(_df(spark, 0, 3), root)
+    v2 = snap.append(_df(spark, 3, 5), root)
+    assert (v1, v2) == (1, 2)
+    assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2, 3, 4]
+    assert _ids(snap.read_snapshot(spark, root, version=1)) == [0, 1, 2]
+
+    v3 = snap.replace(_df(spark, 100, 102), root)
+    assert _ids(snap.read_snapshot(spark, root)) == [100, 101]
+    # history is never rewritten: v2 still time-travels
+    assert _ids(snap.read_snapshot(spark, root, version=2)) == [0, 1, 2, 3, 4]
+
+    v4 = snap.rollback(root, to_version=2)
+    assert (v3, v4) == (3, 4)
+    assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2, 3, 4]
+    ops = [h["operation"] for h in snap.history(root)]
+    assert ops == ["append", "append", "replace", "rollback(v2)"]
+
+
+def test_uncommitted_data_invisible(spark, tmp_path):
+    """A crashed writer leaves a data directory but no manifest — readers
+    never see it."""
+    root = str(tmp_path / "tbl")
+    snap.append(_df(spark, 0, 3), root)
+    snap._write_data(_df(spark, 900, 950), root, 99, None)  # crash: no commit
+    assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2]
+    assert snap.latest_version(root) == 1
+
+
+def test_commit_conflict_retries_against_winner(spark, tmp_path):
+    """If another writer lands the next version first, append retries and
+    commits AFTER it, preserving the winner's rows."""
+    root = str(tmp_path / "tbl")
+    snap.append(_df(spark, 0, 3), root)
+    # a concurrent winner takes v2 with its own data
+    rel = snap._write_data(_df(spark, 50, 52), root, 2, None)
+    assert snap._try_commit(
+        root,
+        {"operation": "append", "committed_at": 0.0,
+         "dirs": snap._read_manifest(root, 1)["dirs"] + [rel]},
+        2,
+    )
+    v = snap.append(_df(spark, 7, 9), root)
+    assert v == 3
+    assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2, 7, 8, 50, 51]
+
+
+def test_read_empty_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_partitioned_append(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 10).selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+    snap.append(df, root, partition_col="p")
+    got = snap.read_snapshot(spark, root)
+    assert got.count() == 10
+    assert set(got.columns) == {"id", "p"}
+    # partition layout on disk (hive-style directories)
+    ddir = [d for d in os.listdir(os.path.join(root, "data"))][0]
+    assert any(
+        x.startswith("p=") for x in os.listdir(os.path.join(root, "data", ddir))
+    )
