@@ -60,9 +60,19 @@ def enrich(pages: DataFrame) -> DataFrame:
     sw = F.size(F.filter(toks, lambda t: F.lower(t).isin(*ALL_STOPWORDS)))
     sw_ratio = F.when(n_tokens > 0, sw.cast("double") / n_tokens)
     tris = word_ngrams(toks, 3)
+    # Distinct-count over HASHED trigrams: array_distinct on a STRING
+    # array is O(n²) (Spark's hash-set fast path covers primitive types
+    # only) — on a 150 kB doc that is ~25k trigrams → ~6×10^8 string
+    # compares, a multi-second straggler task that floors the whole-job
+    # wall at high core counts (measured: map-stage scaling 2→8 cores
+    # stuck at 1.3× until this line). xxhash64 per element is linear and
+    # turns array_distinct into the O(n) long-array path; a 64-bit
+    # within-doc collision (≤25k values) shifts the ratio by 1/n with
+    # probability ~3×10^-11 — far below the keep/drop threshold scale.
+    tris_h = F.transform(F.col("_tris"), lambda t: F.xxhash64(t))
     dupng = F.when(
         F.size(F.col("_tris")) > 0,
-        1.0 - F.size(F.array_distinct(F.col("_tris"))) / F.size(F.col("_tris")),
+        1.0 - F.size(F.array_distinct(tris_h)) / F.size(F.col("_tris")),
     ).otherwise(F.lit(0.0))
 
     return (
