@@ -122,6 +122,44 @@ def flag_exact_duplicates(enriched: DataFrame) -> DataFrame:
     )
 
 
+def flag_exact_duplicates_broadcast(enriched: DataFrame) -> DataFrame:
+    """Same verdicts as `flag_exact_duplicates`, ZERO wide exchange.
+
+    The window formulation shuffles every WIDE row (text_x + features) by
+    the hash pair; at 10^12 rows that exchange dominates the job. Here
+    only a NARROW (url, h1, h2) projection shuffles — ~24 bytes/row — to
+    find the non-keeper urls, and that (typically small: dup-rate ×
+    corpus) url set is broadcast back as a hash join, so the wide rows
+    never leave their input partitioning (which then also feeds the
+    partitioned sinks with no further exchange).
+
+    Scale bound: the broadcast is the duplicate SET, not the corpus — at
+    dup rates where it exceeds executor memory (≳10^8 urls), fall back to
+    `flag_exact_duplicates` or apply the verdicts via a bucketed join.
+    The survivor (lowest url per 128-bit hash pair) is identical to the
+    window formulation; equality is unit-asserted for both strategies."""
+    narrow = enriched.select(
+        "url",
+        F.xxhash64("text_x").alias("_h1"),
+        F.xxhash64(F.lit(1), "text_x").alias("_h2"),
+    )
+    losers = (
+        narrow.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_h1", "_h2").orderBy("url")
+            ),
+        )
+        .filter(F.col("_rn") > 1)
+        .select("url", F.lit(True).alias("_dup"))
+    )
+    return (
+        enriched.join(F.broadcast(losers), "url", "left")
+        .withColumn("is_duplicate", F.coalesce(F.col("_dup"), F.lit(False)))
+        .drop("_dup")
+    )
+
+
 def failure_flags(df: DataFrame) -> DataFrame:
     """All spec checks as boolean columns (single codegen stage)."""
     c = F.col
@@ -225,6 +263,7 @@ def run_pipeline(
     out_dir: str,
     resume: bool = True,
     salt_partitions: int | None = None,
+    dup_strategy: str = "window",
 ) -> dict[str, int]:
     """Execute the pipeline; idempotent under resume.
 
@@ -283,10 +322,24 @@ def run_pipeline(
     # column in the table and text/warc_ts/lang are already folded into
     # text_x/p_date/flags — caching them would multiply the cache footprint
     # (and its build-time compression cost) for bytes nothing reads.
-    flagged = failure_flags(flag_exact_duplicates(enrich(pages))).drop(
-        "html", "text", "warc_ts", "lang"
-    )
-    flagged = flagged.persist()
+    if dup_strategy == "window":
+        # one wide pass: the dup window's exchange carries the rows once
+        flagged = failure_flags(flag_exact_duplicates(enrich(pages))).drop(
+            "html", "text", "warc_ts", "lang"
+        )
+        cached = flagged = flagged.persist()
+    elif dup_strategy == "broadcast":
+        # zero wide exchange: dup verdicts come from a NARROW projection
+        # of the cache (the UDF runs once — both consumers read the
+        # persisted enrichment), broadcast-joined back; the wide rows
+        # keep the input (p_date, salt) clustering all the way to the
+        # sinks. See flag_exact_duplicates_broadcast for the scale bound.
+        cached = enrich(pages).drop("html", "text").persist()
+        flagged = failure_flags(flag_exact_duplicates_broadcast(cached)).drop(
+            "warc_ts", "lang"
+        )
+    else:
+        raise ValueError(f"unknown dup_strategy: {dup_strategy!r}")
     try:
         decisions = decide(flagged)
         log = failure_log(flagged)
@@ -332,7 +385,7 @@ def run_pipeline(
         _mark("t_manifest")
         n_parts = len(done)
     finally:
-        flagged.unpersist()
+        cached.unpersist()
     return {"partitions_processed": n_parts, "rows": n_rows, "timings": t}
 
 

@@ -111,6 +111,45 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+def q_asof_next_view(spark, sf_dir):
+    """FORWARD as-of join (asof.asof_join(direction="forward") — the
+    descending-scan mirror of the backward carry, same single exchange):
+    every purchase annotated with the EARLIEST view at-or-after it."""
+    from inspectehr_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["view_event_id"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_view_event_id").alias("view_event_id"),
+        F.col("asof_ts").alias("view_ts"),
+    )
+
+
+SQL_ASOF_NEXT_VIEW = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.ts AS view_ts
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+"""
+
+
 def q_daily_type_rollup(spark, sf_dir):
     """Multi-resolution rollup (the hypertable-rollup analog): event counts
     at (event_type, day), (event_type) and grand-total grain in ONE pass —
@@ -360,6 +399,7 @@ R3_QUERIES = {
     "periodicity_failures": (q_periodicity_failures, SQL_PERIODICITY_FAILURES),
     "near_dup_cells": (q_near_dup_cells, SQL_NEAR_DUP_CELLS),
     "asof_last_view": (q_asof_last_view, SQL_ASOF_LAST_VIEW),
+    "asof_next_view": (q_asof_next_view, SQL_ASOF_NEXT_VIEW),
     "daily_type_rollup": (q_daily_type_rollup, SQL_DAILY_TYPE_ROLLUP),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     "word_dup_stats": (q_word_dup_stats, SQL_WORD_DUP_STATS),
