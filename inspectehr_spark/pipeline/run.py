@@ -5,23 +5,30 @@ Stages (all declarative; Catalyst owns the physical plan):
   pages(url, warc_ts, html, text, lang)
     │ resume: anti-join processed-partition manifest         (R/perform_evaluation.R:267-274 skip-list pattern)
     │ salt: repartition on (salt) — giant-HTML skew guard
-    ├─ extract_text_udf(html)          → text (byte-identical contract)
+    ├─ extract_score_udf(html)         → text_x, lang_pred, perplexity
+    │     (ONE fused Arrow UDF — one JVM⇄Python boundary crossing;
+    │      separate UDFs measurably spent >half the high-core CPU in
+    │      the worker socket syscall path)
     ├─ native heuristic features       → n_chars … dup_ngram_frac
-    ├─ langid_udf / perplexity_udf     → lang_pred, perplexity (Arrow batches)
-    ├─ exact-dup window (hash-keyed)   → is_duplicate
+    ├─ exact-dup verdicts              → is_duplicate
+    │     dup_strategy="window": hash-pair-keyed window (ONE wide
+    │       exchange, 16-byte keys, text never in the key)
+    │     dup_strategy="broadcast": narrow (url, h1, h2) shuffle only +
+    │       broadcast of the duplicate-url set — ZERO wide exchange,
+    │       rows keep input clustering scan→sink
     ├─ rule battery                    → failure_log(url, check_code, …)
-    ├─ anti-join decisions             → keep / first_fail_code
+    ├─ decide (column-wise anti-join)  → keep / first_fail_code
     ├─ scrub chain (JVM regex)         → scrubbed_text
     └─ sinks: decisions/, failures/, metrics/, manifest/   (parquet,
-       partitioned by p_date — Iceberg writeTo(...) on a real catalog)
+       partitioned by p_date with a bounded write salt — Iceberg
+       writeTo(...) on a real catalog)
 
-Scale notes: the only wide operations are (1) the exact-dup window, keyed
-by a 128-bit hash pair (two seeded xxhash64 values — 16 bytes of key per
-row, the text itself never enters the partitioning expression), and (2)
-the failure-log groupBy for first_fail_code, keyed by url. Both sides of
-the decision join are partitioned by url upstream on a bucketed Iceberg
-table. Collision odds on 128 bits at 10^12 docs ≈ 1e-15 (see
-flag_exact_duplicates docstring).
+Scale notes: with the window strategy the only wide operation is the
+exact-dup exchange (128-bit hash-pair key; collision odds at 10^12 docs
+≈ 1e-15, see flag_exact_duplicates); with the broadcast strategy no wide
+data moves at all and the broadcast is bounded by the duplicate SET size
+(fallback documented in flag_exact_duplicates_broadcast). Sinks write at
+(p_date × salt) parallelism so a few hot dates can't cap the write stage.
 """
 
 from __future__ import annotations
