@@ -48,20 +48,36 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # The driver captures only the TAIL of stdout; a ~76-entry per-query map
+    # overflowed it in round 3 ("parsed": null).  Emit full detail to a file,
+    # then a compact summary (slowest 5 only) as the FINAL stdout line.
+    detail = {
+        "metric": "registry_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "master": f"local[{cpus}]",
+        "shuffle_partitions": shuffle,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    spark.stop()
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "registry_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "master": f"local[{cpus}]",
-                "shuffle_partitions": shuffle,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "sf": detail["sf"],
+                "detail_file": "BENCH_full.json",
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

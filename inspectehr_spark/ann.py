@@ -17,9 +17,21 @@ from __future__ import annotations
 
 import math
 import random
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_6DP = Decimal("0.000001")
+
+
+def _round6(x: float) -> float:
+    """Round-half-UP at 6dp on the shortest decimal repr of the double —
+    exactly what F.round does (BigDecimal.valueOf → setScale(HALF_UP)) and
+    what DuckDB ROUND (half-away-from-zero on non-negative cosines) does.
+    Python's built-in round() is banker's rounding on the binary value and
+    can diverge on dyadic-rational half boundaries."""
+    return float(Decimal(repr(x)).quantize(_6DP, rounding=ROUND_HALF_UP))
 
 
 def _dot(a, b):
@@ -245,7 +257,7 @@ def ivf_topk(
     qn = math.sqrt(sum(x * x for x in query_vec))
     scored_cells = sorted(
         (
-            (-round(sum(q * c for q, c in zip(query_vec, vec)) / (qn * cn), 6), cid)
+            (-_round6(sum(q * c for q, c in zip(query_vec, vec)) / (qn * cn)), cid)
             for cid, vec, cn in cents
         )
     )

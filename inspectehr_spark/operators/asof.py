@@ -53,9 +53,17 @@ def asof_join(
     — collapse the right side to one row per (key, ts) first if another
     tiebreak is wanted. Left rows tie-break AFTER right rows at the same
     timestamp in both directions, which is what makes the match
-    inclusive."""
+    inclusive.
+
+    NULL-timestamp contract (matches DuckDB ASOF / pandas merge_asof):
+    right rows with NULL `right_ts` are dropped before the union (a NULL
+    can never satisfy the inequality, and left in place it would sort
+    first in the ascending scan and leak its payload into every carry);
+    left rows with NULL `left_ts` are kept but never match (asof_* all
+    NULL)."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction: {direction!r}")
+    right = right.filter(F.col(right_ts).isNotNull())
     lcols = left.columns
     l = left.select(
         F.col(key).alias("_k"),
@@ -121,10 +129,15 @@ def asof_join(
         # coalesce to FALSE: an unmatched side carries NULL, and a NULL
         # tolerance comparison would poison the nearest-side three-valued
         # logic (NULL & x, ~NULL) into selecting neither side
+        # a left row with NULL left_ts never matches: in the descending
+        # (forward) scan NULLs sort last and would otherwise spuriously
+        # carry the earliest right row
+        has_left_ts = F.col("_l")[left_ts].isNotNull()
         if tolerance_sec is None:
-            return F.col(f"_{suffix}_ts").isNotNull()
+            return has_left_ts & F.col(f"_{suffix}_ts").isNotNull()
         return F.coalesce(
-            F.col(f"_{suffix}_ts").isNotNull()
+            has_left_ts
+            & F.col(f"_{suffix}_ts").isNotNull()
             & (gap_us(suffix) <= tolerance_sec * 1e6),
             F.lit(False),
         )

@@ -200,18 +200,28 @@ def psi_by_group(
     rng = df.agg(
         F.min(v).alias("_lo"), F.max(v).alias("_hi")
     )
+    # Degenerate-range guard: when every value is equal (hi == lo) the bin
+    # width is 0 and x/0 semantics diverge between engines (Spark yields
+    # NULL, DuckDB float inf) — define the bin as 0 explicitly so the
+    # operator and the SQL oracle agree on degenerate input.
     binned = df.crossJoin(F.broadcast(rng)).select(
         F.col(group_col).alias("_g"),
-        F.least(
-            F.greatest(
-                F.floor(
-                    (v - F.col("_lo"))
-                    / ((F.col("_hi") - F.col("_lo")) / n_bins)
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (v - F.col("_lo"))
+                        / ((F.col("_hi") - F.col("_lo")) / n_bins)
+                    ),
+                    F.lit(0),
                 ),
-                F.lit(0),
+                F.lit(n_bins - 1),
             ),
-            F.lit(n_bins - 1),
-        ).cast("long").alias("_bin"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_bin"),
     )
     dist = (
         binned.groupBy("_g", "_bin")

@@ -67,6 +67,17 @@ def segment_dup_stats(
     eq_prev = F.zip_with(s, prev, lambda a, b: a.eqNullSafe(b))
     eq_next = F.zip_with(s, nxt, lambda a, b: a.eqNullSafe(b))
     in_dup = F.zip_with(eq_prev, eq_next, lambda a, b: a | b)
+    # distinct count from the SAME sorted-adjacent pass: a slot is a repeat
+    # iff it equals its predecessor, so distinct = n - count(eq_prev).  This
+    # replaces array_distinct on a STRING array, whose hash-set fast path is
+    # primitives-only — on a 25k-segment page that was ~6e8 string compares
+    # per task (the O(n^2) trap removed from the trigram feature in run.py).
+    repeat_slots = F.aggregate(
+        eq_prev,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(x, 1).otherwise(0),
+    )
+    distinct = (n.cast("long") - repeat_slots).alias("distinct")
     dup_chars = F.aggregate(
         F.zip_with(in_dup, s, lambda f, w: F.when(f, F.length(w)).otherwise(0)),
         F.lit(0).cast("long"),
@@ -77,10 +88,10 @@ def segment_dup_stats(
     )
     return (
         df.withColumn(f"{prefix}_total", n.cast("long"))
-        .withColumn(f"{prefix}_distinct", F.size(F.array_distinct(s)).cast("long"))
+        .withColumn(f"{prefix}_distinct", distinct)
         .withColumn(
             f"{prefix}_dup_frac",
-            F.round(1.0 - F.size(F.array_distinct(s)) / n, 6),
+            F.round(1.0 - distinct / n, 6),
         )
         .withColumn(
             f"{prefix}_dup_char_frac",

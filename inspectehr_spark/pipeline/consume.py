@@ -5,8 +5,6 @@ the persisted quality metadata, no recomputation of checks.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,9 +37,12 @@ def study_safely(
     min_pass_rate: float = 0.5,
 ) -> DataFrame:
     """Kept documents within [from_date, to_date], excluding blacklisted
-    partitions — pure reads + filters + one broadcast anti-join."""
-    decisions = spark.read.parquet(os.path.join(out_dir, "decisions"))
-    metrics = spark.read.parquet(os.path.join(out_dir, "metrics"))
+    partitions — pure reads + filters + one broadcast anti-join. Reads the
+    latest committed snapshot of each sink (run.read_sink)."""
+    from inspectehr_spark.pipeline.run import read_sink
+
+    decisions = read_sink(spark, out_dir, "decisions")
+    metrics = read_sink(spark, out_dir, "metrics")
     out = decisions.filter(F.col("keep"))
     if from_date:
         out = out.filter(F.col("p_date") >= F.lit(from_date).cast("date"))

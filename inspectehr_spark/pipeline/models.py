@@ -114,24 +114,26 @@ def _perplexity_series(text: pd.Series) -> pd.Series:
     """Mean integer token cost (spec.token_cost) per doc — the KenLM-query
     batch shape: explode → dictionary-encode → per-unique cost → segment
     mean. Python touches only the unique-token dictionary."""
+    n = len(text)
     toks = text.fillna("").str.split(" ")
-    lengths = toks.apply(len)
-    flat = [t for row in toks for t in row if t != ""]
-    n_tok = np.fromiter(
-        (sum(1 for t in row if t != "") for row in toks), dtype=np.int64, count=len(toks)
-    )
-    if not flat:
-        return pd.Series(np.zeros(len(text)), index=text.index)
-    arr = pd.Series(flat)
-    cats = arr.astype("category")
-    uniq = cats.cat.categories
+    # Flatten in C: cython explode + repeat, never a per-token Python loop
+    # (this sits inside the fused hot-path UDF — a list-comprehension flatten
+    # here touched every token interpreted).
+    piece_counts = toks.str.len().to_numpy(dtype=np.int64)
+    tok_arr = toks.explode().to_numpy()
+    doc_ids_all = np.repeat(np.arange(n), piece_counts)
+    nonempty = tok_arr != ""
+    doc_ids = doc_ids_all[nonempty]
+    n_tok = np.bincount(doc_ids, minlength=n).astype(np.int64)
+    if doc_ids.size == 0:
+        return pd.Series(np.zeros(n), index=text.index)
+    # dictionary-encode (C hash table); Python only on the unique dictionary
+    codes, uniq = pd.factorize(tok_arr[nonempty])
     cost_table = np.fromiter((spec.token_cost(u) for u in uniq), dtype=np.int64, count=len(uniq))
-    costs = cost_table[cats.cat.codes.to_numpy()]
-    doc_ids = np.repeat(np.arange(len(toks)), n_tok)
-    sums = np.bincount(doc_ids, weights=costs, minlength=len(toks))
+    costs = cost_table[codes]
+    sums = np.bincount(doc_ids, weights=costs, minlength=n)
     with np.errstate(divide="ignore", invalid="ignore"):
         ppl = np.where(n_tok > 0, sums / np.maximum(n_tok, 1), 0.0)
-    _ = lengths
     return pd.Series(ppl, index=text.index)
 
 

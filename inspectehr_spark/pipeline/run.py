@@ -19,9 +19,10 @@ Stages (all declarative; Catalyst owns the physical plan):
     ├─ rule battery                    → failure_log(url, check_code, …)
     ├─ decide (column-wise anti-join)  → keep / first_fail_code
     ├─ scrub chain (JVM regex)         → scrubbed_text
-    └─ sinks: decisions/, failures/, metrics/, manifest/   (parquet,
-       partitioned by p_date with a bounded write salt — Iceberg
-       writeTo(...) on a real catalog)
+    └─ sinks: decisions / failures / metrics as ONE atomic snapshot
+       transaction (sources/snapshots.py manifest commit — partitioned
+       parquet with a bounded write salt, versioned: time travel +
+       rollback; Iceberg writeTo(...) on a real catalog)
 
 Scale notes: with the window strategy the only wide operation is the
 exact-dup exchange (128-bit hash-pair key; collision odds at 10^12 docs
@@ -33,11 +34,12 @@ data moves at all and the broadcast is bounded by the duplicate SET size
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from inspectehr_spark.sources import snapshots as snap
 
 from inspectehr_spark.functions.textfns import ALL_STOPWORDS, word_ngrams
 from inspectehr_spark.pipeline import spec
@@ -129,8 +131,18 @@ def flag_exact_duplicates(enriched: DataFrame) -> DataFrame:
     )
 
 
-def flag_exact_duplicates_broadcast(enriched: DataFrame) -> DataFrame:
+def flag_exact_duplicates_broadcast(
+    enriched: DataFrame, max_broadcast_urls: int | None = 50_000_000
+) -> DataFrame:
     """Same verdicts as `flag_exact_duplicates`, ZERO wide exchange.
+
+    PRECONDITION: `url` uniquely identifies a row (the corpus primary key,
+    as in the reference's per-url decision table). With duplicate urls the
+    url-keyed verdict join would both fan out rows and mark every row
+    bearing a losing url — diverging from the window strategy, which keeps
+    exactly one survivor per text. The pipeline's input contract
+    guarantees uniqueness; callers with dirty urls must pre-dedup or use
+    `flag_exact_duplicates`.
 
     The window formulation shuffles every WIDE row (text_x + features) by
     the hash pair; at 10^12 rows that exchange dominates the job. Here
@@ -140,11 +152,14 @@ def flag_exact_duplicates_broadcast(enriched: DataFrame) -> DataFrame:
     never leave their input partitioning (which then also feeds the
     partitioned sinks with no further exchange).
 
-    Scale bound: the broadcast is the duplicate SET, not the corpus — at
-    dup rates where it exceeds executor memory (≳10^8 urls), fall back to
-    `flag_exact_duplicates` or apply the verdicts via a bucketed join.
-    The survivor (lowest url per 128-bit hash pair) is identical to the
-    window formulation; equality is unit-asserted for both strategies."""
+    Scale bound, enforced: the broadcast is the duplicate SET, not the
+    corpus. `max_broadcast_urls` caps it — when the loser set exceeds the
+    cap this DEGRADES to the window strategy (identical verdicts, wide
+    exchange) instead of driving the forced broadcast into driver OOM.
+    Pass None to skip the guard count (one extra narrow job) when the dup
+    rate is known-bounded. The survivor (lowest url per 128-bit hash
+    pair) is identical to the window formulation; equality is
+    unit-asserted for both strategies."""
     narrow = enriched.select(
         "url",
         F.xxhash64("text_x").alias("_h1"),
@@ -160,6 +175,11 @@ def flag_exact_duplicates_broadcast(enriched: DataFrame) -> DataFrame:
         .filter(F.col("_rn") > 1)
         .select("url", F.lit(True).alias("_dup"))
     )
+    if max_broadcast_urls is not None:
+        losers = losers.persist()
+        if losers.count() > max_broadcast_urls:
+            losers.unpersist()
+            return flag_exact_duplicates(enriched)
     return (
         enriched.join(F.broadcast(losers), "url", "left")
         .withColumn("is_duplicate", F.coalesce(F.col("_dup"), F.lit(False)))
@@ -274,14 +294,18 @@ def run_pipeline(
 ) -> dict[str, int]:
     """Execute the pipeline; idempotent under resume.
 
-    Partition unit = p_date (date(warc_ts)) — the lineage/manifest key.
-    With resume=True, partitions already in the manifest are skipped via
-    LEFT ANTI join (never reprocessed, never re-appended). The manifest is
-    appended only AFTER all sink appends succeed, so it acts as the commit
-    record: on resume, sink data for dates absent from the manifest
-    (a crash between sink append and manifest append) is rolled back and
-    reprocessed — exactly-once per partition either way.
-    Returns {"partitions_processed": k, "rows": n}.
+    Partition unit = p_date (date(warc_ts)) — the lineage key. All three
+    sinks (decisions/failures/metrics) AND the processed-date record
+    commit as ONE atomic snapshot transaction (sources/snapshots.py): the
+    data directories are written invisibly first, then a single manifest
+    publish makes them all visible together. A crash at ANY earlier point
+    leaves nothing visible — no partial sink, no torn manifest — so resume
+    simply anti-joins the dates recorded in the latest committed manifest
+    and reprocesses the rest; orphaned uncommitted data dirs are inert
+    (never read) and reclaimable by an Iceberg-style orphan-file vacuum.
+    Every commit is also a VERSION: `read_sink(..., version=k)` time-
+    travels, and `snapshots.rollback` undoes a bad run without rewriting
+    history. Returns {"partitions_processed": k, "rows": n}.
     """
     t: dict[str, float] = {}
     t0 = time.perf_counter()
@@ -296,15 +320,8 @@ def run_pipeline(
         "p_date", F.to_date("warc_ts").cast("string")
     )
 
-    manifest_path = os.path.join(out_dir, "manifest")
     if resume:
-        done_dates = _manifest_dates(spark, manifest_path)
-        # Crash atomicity: the manifest is the COMMIT RECORD. Data appended
-        # for a partition whose manifest entry never landed (job died
-        # between the sink appends and the manifest append) may be partial
-        # — roll it back and reprocess, rather than trusting it (which
-        # could drop rows) or re-appending over it (which duplicates).
-        _rollback_unrecorded(spark, out_dir, done_dates)
+        done_dates = set(snap.latest_extra(out_dir).get("dates", []))
         if done_dates:
             done = spark.createDataFrame(
                 [(p,) for p in sorted(done_dates)], "p_date string"
@@ -365,30 +382,36 @@ def run_pipeline(
             F.xxhash64("url"),
             F.lit(max(2, spark.sparkContext.defaultParallelism)),
         )
-        decisions.repartition(F.col("p_date"), wsalt).write.mode(
-            "append"
-        ).partitionBy("p_date").parquet(os.path.join(out_dir, "decisions"))
+        hint = (snap.latest_version(out_dir) or 0) + 1
+        rel_dec = snap.write_table_data(
+            decisions.repartition(F.col("p_date"), wsalt),
+            out_dir, "decisions", hint, partition_col="p_date",
+        )
         _mark("t_decisions")
-        log.repartition(F.col("p_date"), wsalt).write.mode("append").partitionBy(
-            "p_date"
-        ).parquet(os.path.join(out_dir, "failures"))
+        rel_log = snap.write_table_data(
+            log.repartition(F.col("p_date"), wsalt),
+            out_dir, "failures", hint, partition_col="p_date",
+        )
         _mark("t_failures")
-        mets.repartition(F.col("partition_id")).write.mode("append").partitionBy(
-            "partition_id"
-        ).parquet(os.path.join(out_dir, "metrics"))
+        rel_met = snap.write_table_data(
+            mets.repartition(F.col("partition_id")),
+            out_dir, "metrics", hint, partition_col="partition_id",
+        )
         _mark("t_metrics")
         n_rows = flagged.count()
         _mark("t_count")
-        # Collect the processed-partition ids BEFORE appending the manifest:
-        # flagged's lineage contains the resume anti-join against the
-        # manifest, so any recomputation after the append would see its own
-        # output and report zero partitions (observed with a cold cache).
+        # Collect the processed-partition ids BEFORE committing: flagged's
+        # lineage contains the resume anti-join against the prior manifest,
+        # so any recomputation after the commit would see its own output and
+        # report zero partitions (observed with a cold cache).
         done = [r[0] for r in flagged.select("p_date").distinct().collect()]
-        spark.createDataFrame(
-            [(p,) for p in done], "p_date string"
-        ).withColumn("completed_at", F.current_timestamp()).write.mode(
-            "append"
-        ).parquet(manifest_path)
+        # ONE atomic publish for all three sinks + the resume record
+        snap.commit_transaction(
+            out_dir,
+            {"decisions": [rel_dec], "failures": [rel_log], "metrics": [rel_met]},
+            extra={"dates": done},
+            keep_prior=True,
+        )
         _mark("t_manifest")
         n_parts = len(done)
     finally:
@@ -396,49 +419,14 @@ def run_pipeline(
     return {"partitions_processed": n_parts, "rows": n_rows, "timings": t}
 
 
-def _exists(spark: SparkSession, path: str) -> bool:
-    jvm = spark._jvm
-    jsc = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(jsc).exists(p)
-
-
-def _manifest_dates(spark: SparkSession, manifest_path: str) -> set[str]:
-    if not _exists(spark, manifest_path):
-        return set()
-    return {
-        r[0]
-        for r in spark.read.parquet(manifest_path).select("p_date").distinct().collect()
-    }
-
-
-# sink directory → its partition directory key
-_SINKS = (("decisions", "p_date"), ("failures", "p_date"), ("metrics", "partition_id"))
-
-
-def _rollback_unrecorded(
-    spark: SparkSession, out_dir: str, done_dates: set[str]
-) -> list[str]:
-    """Delete sink partition dirs whose date is NOT in the manifest —
-    uncommitted leftovers of a crashed run. Metadata-only FS ops (no job).
-    Returns the rolled-back dates (for logging/tests)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    rolled: set[str] = set()
-    for sink, key in _SINKS:
-        base = jvm.org.apache.hadoop.fs.Path(os.path.join(out_dir, sink))
-        fs = base.getFileSystem(conf)
-        if not fs.exists(base):
-            continue
-        for status in fs.listStatus(base):
-            name = status.getPath().getName()
-            if not name.startswith(f"{key}="):
-                continue
-            date = name.split("=", 1)[1]
-            if date not in done_dates:
-                fs.delete(status.getPath(), True)
-                rolled.add(date)
-    return sorted(rolled)
+def read_sink(
+    spark: SparkSession, out_dir: str, name: str, version: int | None = None
+) -> DataFrame:
+    """Read a pipeline sink ("decisions" / "failures" / "metrics") at the
+    latest committed snapshot, or time-travel to `version`. Uncommitted
+    data directories (a crashed run's leftovers) are invisible by
+    construction — readers trust only the manifest."""
+    return snap.read_table(spark, out_dir, name, version=version)
 
 
 def main(argv: list[str] | None = None) -> None:

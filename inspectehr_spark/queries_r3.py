@@ -318,7 +318,9 @@ WITH src AS (
 rng AS (SELECT min(v) AS lo, max(v) AS hi FROM src),
 b AS (
   SELECT event_type AS g,
-         CAST(least(greatest(floor((v - lo) / ((hi - lo) / 10)), 0), 9) AS BIGINT) AS bin
+         CAST(CASE WHEN hi > lo
+              THEN least(greatest(floor((v - lo) / ((hi - lo) / 10)), 0), 9)
+              ELSE 0 END AS BIGINT) AS bin
   FROM src, rng
 ),
 dist AS (SELECT g, bin, count(*) AS c FROM b GROUP BY g, bin),

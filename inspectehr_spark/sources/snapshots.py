@@ -14,9 +14,15 @@ version. Commit protocol (single-writer-wins optimistic concurrency):
 
 1. write the new data directory (invisible — readers only trust manifests),
 2. read the current latest manifest, build the next file list,
-3. os.open(v<next>.json, O_CREAT|O_EXCL) — the filesystem arbitrates: the
-   first committer of a version wins atomically, a concurrent loser gets
-   EEXIST, re-reads the (new) latest and retries against it.
+3. write the manifest to a hidden temp file (write+flush+fsync), then
+   publish it atomically via os.link(tmp, v<next>.json) — the filesystem
+   arbitrates: the first committer of a version wins atomically, a
+   concurrent loser gets EEXIST, re-reads the (new) latest and retries.
+   Because publication is a link of an already-durable file, a visible
+   manifest is ALWAYS complete — a reader can never observe a truncated
+   one (the O_CREAT|O_EXCL-then-write variant had a window where
+   v<N>.json existed empty).  Defensively, unparsable manifests are
+   treated as uncommitted by _versions().
 
 Readers list `_manifests/`, pick the max version (or an explicit one) and
 read exactly the files it names — a half-written data directory is never
@@ -50,7 +56,19 @@ def _manifest_dir(root: str) -> str:
     return os.path.join(root, _MANIFESTS)
 
 
-def _versions(root: str) -> list[int]:
+def _parsable(path: str) -> bool:
+    try:
+        with open(path) as fh:
+            json.load(fh)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
+def _raw_versions(root: str) -> list[int]:
+    """Every v<N>.json name present, parsable or not — used only for commit
+    version allocation, so a squatted/truncated slot is skipped rather than
+    retried forever."""
     d = _manifest_dir(root)
     if not os.path.isdir(d):
         return []
@@ -58,6 +76,22 @@ def _versions(root: str) -> list[int]:
         int(f[1:-5])
         for f in os.listdir(d)
         if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _versions(root: str) -> list[int]:
+    d = _manifest_dir(root)
+    if not os.path.isdir(d):
+        return []
+    # A manifest that fails to parse (e.g. left by a crashed pre-link-publish
+    # writer) is uncommitted: skipping it keeps the table readable instead of
+    # bricking every latest_version()-based read on a JSONDecodeError.
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(d)
+        if f.startswith("v")
+        and f.endswith(".json")
+        and _parsable(os.path.join(d, f))
     )
 
 
@@ -86,30 +120,45 @@ def history(root: str) -> list[dict]:
 
 
 def _try_commit(root: str, manifest: dict, version: int) -> bool:
-    os.makedirs(_manifest_dir(root), exist_ok=True)
-    path = os.path.join(_manifest_dir(root), f"v{version}.json")
+    d = _manifest_dir(root)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, f"v{version}.json")
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        # Atomic publish of an already-durable file: link() fails with
+        # EEXIST if another writer won this version — same arbitration as
+        # O_CREAT|O_EXCL, but the visible name is never empty/truncated.
+        os.link(tmp, final)
+        return True
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
-    return True
+    finally:
+        os.unlink(tmp)
 
 
 def _commit(root: str, operation: str, new_dirs: list[str], keep_prior: bool,
-            max_retries: int = 10) -> int:
+            max_retries: int = 10, tables: dict | None = None,
+            extra: dict | None = None) -> int:
     for _ in range(max_retries):
         cur = latest_version(root)
         dirs = list(new_dirs)
         if keep_prior and cur is not None:
             dirs = _read_manifest(root, cur)["dirs"] + dirs
-        nxt = (cur or 0) + 1
+        raw = _raw_versions(root)
+        nxt = max(cur or 0, raw[-1] if raw else 0) + 1
         manifest = {
             "operation": operation,
             "committed_at": time.time(),
             "dirs": dirs,
         }
+        if tables is not None:
+            manifest["tables"] = tables
+        if extra is not None:
+            manifest["extra"] = extra
         if _try_commit(root, manifest, nxt):
             return nxt
     raise CommitConflict(f"lost {max_retries} commit races at {root}")
@@ -139,9 +188,104 @@ def replace(df: DataFrame, root: str, partition_col: str | None = None) -> int:
 
 def rollback(root: str, to_version: int) -> int:
     """Make an old snapshot current again by committing a NEW version with
-    its file list — history is never rewritten (Iceberg rollback)."""
-    dirs = _read_manifest(root, to_version)["dirs"]
-    return _commit(root, f"rollback(v{to_version})", dirs, keep_prior=False)
+    its content (single-table dirs AND multi-table tables/extra) — history
+    is never rewritten (Iceberg rollback)."""
+    m = _read_manifest(root, to_version)
+    return _commit(
+        root,
+        f"rollback(v{to_version})",
+        m["dirs"],
+        keep_prior=False,
+        tables=m.get("tables"),
+        extra=m.get("extra"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table transactions: one manifest covers several named tables plus an
+# arbitrary `extra` payload (the pipeline stores its processed-date set
+# there), so decisions/failures/metrics and the resume record commit in ONE
+# atomic publish — a crash at any earlier point leaves nothing visible.
+# Manifest schema: {"operation", "committed_at", "tables": {name: [dirs]},
+# "extra": {...}, "dirs": []} — `dirs` stays for the single-table API.
+# ---------------------------------------------------------------------------
+
+
+def write_table_data(
+    df: DataFrame,
+    root: str,
+    name: str,
+    version_hint: int,
+    partition_col: str | None = None,
+) -> str:
+    """Write `df` as an (invisible until committed) data directory of table
+    `name` under `root`; returns the manifest-relative path."""
+    rel = os.path.join(name, _DATA, f"c{version_hint}-{uuid.uuid4().hex[:12]}")
+    w = df.write.mode("error")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(os.path.join(root, rel))
+    return rel
+
+
+def commit_transaction(
+    root: str,
+    tables_rel: dict[str, list[str]],
+    extra: dict | None = None,
+    keep_prior: bool = True,
+    max_retries: int = 10,
+) -> int:
+    """Atomically commit new data directories for several tables at once.
+
+    With `keep_prior`, each table's new dirs APPEND to its prior list and
+    `extra["dates"]` merges with the prior date set (the pipeline's resume
+    record); without, the new lists replace everything. Optimistic retry
+    against concurrent committers, same arbitration as `_commit`."""
+    for _ in range(max_retries):
+        cur = latest_version(root)
+        tbls = {k: list(v) for k, v in tables_rel.items()}
+        ex = dict(extra or {})
+        if keep_prior and cur is not None:
+            m = _read_manifest(root, cur)
+            for k, prior in m.get("tables", {}).items():
+                tbls[k] = prior + tbls.get(k, [])
+            prior_dates = m.get("extra", {}).get("dates", [])
+            if prior_dates or ex.get("dates"):
+                ex["dates"] = sorted(set(prior_dates) | set(ex.get("dates", [])))
+        raw = _raw_versions(root)
+        nxt = max(cur or 0, raw[-1] if raw else 0) + 1
+        manifest = {
+            "operation": "txn",
+            "committed_at": time.time(),
+            "tables": tbls,
+            "extra": ex,
+            "dirs": [],
+        }
+        if _try_commit(root, manifest, nxt):
+            return nxt
+    raise CommitConflict(f"lost {max_retries} commit races at {root}")
+
+
+def read_table(
+    spark: SparkSession, root: str, name: str, version: int | None = None
+) -> DataFrame:
+    """Read one table of a multi-table snapshot (latest version or time
+    travel to `version`)."""
+    v = latest_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshots at {root}")
+    dirs = _read_manifest(root, v).get("tables", {}).get(name, [])
+    if not dirs:
+        raise FileNotFoundError(f"table {name!r} empty at {root} v{v}")
+    return _read_dirs(spark, root, dirs)
+
+
+def latest_extra(root: str) -> dict:
+    """The `extra` payload of the latest committed manifest ({} if none)."""
+    v = latest_version(root)
+    if v is None:
+        return {}
+    return _read_manifest(root, v).get("extra", {})
 
 
 def read_snapshot(
@@ -156,4 +300,18 @@ def read_snapshot(
     dirs = _read_manifest(root, v)["dirs"]
     if not dirs:
         raise FileNotFoundError(f"snapshot v{v} at {root} is empty")
-    return spark.read.parquet(*[os.path.join(root, d) for d in dirs])
+    return _read_dirs(spark, root, dirs)
+
+
+def _read_dirs(spark: SparkSession, root: str, dirs: list[str]) -> DataFrame:
+    """Union of per-directory scans. Each committed data directory is read
+    as its own root (hive partition dirs discovered beneath it) and the
+    scans union — a single multi-path read trips Spark's
+    CONFLICTING_DIRECTORY_STRUCTURES check because sibling c<N>-<uuid>
+    dirs share no common partition base. Exactly Iceberg's shape: the
+    manifest enumerates per-snapshot file groups, the scan is their
+    union."""
+    from functools import reduce
+
+    frames = [spark.read.parquet(os.path.join(root, d)) for d in dirs]
+    return reduce(lambda a, b: a.unionByName(b), frames)

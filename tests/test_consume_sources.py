@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from inspectehr_spark.functions import datetimefns as dtf
 from inspectehr_spark.pipeline import corpus
 from inspectehr_spark.pipeline.consume import partition_blacklist, study_safely
-from inspectehr_spark.pipeline.run import run_pipeline
+from inspectehr_spark.pipeline.run import read_sink, run_pipeline
 from inspectehr_spark.sources.readers import (
     DOCUMENTS_SCHEMA, PAGES_SCHEMA, SchemaMismatch, check_schema, read_pages,
 )
@@ -22,11 +22,11 @@ def test_study_safely_filters(spark, tmp_path):
     out = str(tmp_path / "out")
     run_pipeline(spark, pages, out, resume=False)
     clean = study_safely(spark, out, min_pass_rate=0.2)
-    dec = spark.read.parquet(out + "/decisions")
+    dec = read_sink(spark, out, "decisions")
     assert 0 < clean.count() <= dec.filter("keep").count()
     # a 100% floor blacklists every partition (defects are planted per day)
     assert study_safely(spark, out, min_pass_rate=1.01).count() == 0
-    mets = spark.read.parquet(out + "/metrics")
+    mets = read_sink(spark, out, "metrics")
     bl = partition_blacklist(mets, min_pass_rate=1.01)
     assert bl.count() == mets.select("partition_id").distinct().count()
 

@@ -9,7 +9,7 @@ import os
 import pytest
 
 from inspectehr_spark.pipeline import corpus, reference
-from inspectehr_spark.pipeline.run import run_pipeline
+from inspectehr_spark.pipeline.run import read_sink, run_pipeline
 
 N_DOCS = 1200
 SEED = 42
@@ -34,7 +34,7 @@ def pipeline_out(spark, fixture_corpus, tmp_path_factory):
 
 
 def _decisions(spark, out):
-    df = spark.read.parquet(os.path.join(out, "decisions"))
+    df = read_sink(spark, out, "decisions")
     return {
         r["url"]: (r["keep"], r["first_fail_code"], r["scrubbed_text"])
         for r in df.collect()
@@ -107,7 +107,7 @@ def test_planted_errors_detected(spark, pipeline_out):
 
 def test_metrics_cover_all_partitions_and_checks(spark, pipeline_out):
     out, _stats, _planted, _labels = pipeline_out
-    mets = spark.read.parquet(os.path.join(out, "metrics"))
+    mets = read_sink(spark, out, "metrics")
     from inspectehr_spark.pipeline import spec
 
     rows = mets.collect()
@@ -116,36 +116,73 @@ def test_metrics_cover_all_partitions_and_checks(spark, pipeline_out):
     parts = {str(r["partition_id"]) for r in rows}
     checks = {r["check_code"] for r in rows}
     assert checks == set(spec.CHECKS)
-    dec = spark.read.parquet(os.path.join(out, "decisions"))
+    dec = read_sink(spark, out, "decisions")
     # partitionBy writes p_date as a dir key that reads back as DATE
     assert parts == {
         str(r["p_date"]) for r in dec.select("p_date").distinct().collect()
     }
     # n_failed consistency for one check
     n_dup_metric = sum(r["n_failed"] for r in rows if r["check_code"] == "exact_duplicate")
-    log = spark.read.parquet(os.path.join(out, "failures"))
+    log = read_sink(spark, out, "failures")
     n_dup_log = log.filter(log.check_code == "exact_duplicate").count()
     assert n_dup_metric == n_dup_log
 
 
-def test_resume_rolls_back_unrecorded_partitions(spark, fixture_corpus, tmp_path_factory):
-    """Crash between sink append and manifest append (ADVICE r1): the
-    orphaned sink data must be rolled back and reprocessed on resume — no
-    duplicate decision rows, no missing urls."""
+def test_crashed_run_leaves_nothing_visible(spark, fixture_corpus, tmp_path_factory):
+    """Crash before the atomic manifest publish (ADVICE r1, now via
+    sources/snapshots.py): sink data directories on disk but no committed
+    manifest → readers see NOTHING, resume reprocesses everything, and the
+    rerun neither duplicates nor drops rows."""
     import shutil
 
     path, _planted, labels = fixture_corpus
     out = str(tmp_path_factory.mktemp("out_crash"))
     run_pipeline(spark, path, out, resume=True)
-    # simulate the crash: sink data present, manifest never written
-    shutil.rmtree(os.path.join(out, "manifest"))
+    # simulate the crash: data dirs written, manifest publish never happened
+    shutil.rmtree(os.path.join(out, "_manifests"))
+    with pytest.raises(FileNotFoundError):
+        read_sink(spark, out, "decisions")       # orphans are invisible
     stats = run_pipeline(spark, path, out, resume=True)
-    dec = spark.read.parquet(os.path.join(out, "decisions"))
+    dec = read_sink(spark, out, "decisions")
     assert stats["rows"] == len(labels)          # everything reprocessed
     assert dec.count() == len(labels)            # and nothing duplicated
     got = _decisions(spark, out)
     wrong = [u for u, ref in labels.items() if got[u][0] != ref["keep"]]
     assert not wrong, wrong[:5]
+
+
+def test_sink_time_travel_and_rollback(spark, fixture_corpus, tmp_path_factory):
+    """Every run_pipeline commit is a snapshot version: version 1 (half the
+    corpus) stays readable after the full-corpus version 2 lands, and a
+    snapshots.rollback makes v1 the latest again without rewriting
+    history."""
+    from pyspark.sql import functions as F
+
+    from inspectehr_spark.sources import snapshots as snap
+
+    path, _planted, _labels = fixture_corpus
+    out = str(tmp_path_factory.mktemp("out_tt"))
+    pages = spark.read.parquet(path)
+    dates = sorted(
+        r[0]
+        for r in pages.select(F.to_date("warc_ts").cast("string")).distinct().collect()
+    )
+    half = dates[: len(dates) // 2]
+    part1 = str(tmp_path_factory.mktemp("tt_p1") / "pages.parquet")
+    pages.filter(F.to_date("warc_ts").cast("string").isin(half)).write.parquet(
+        part1, mode="overwrite"
+    )
+    run_pipeline(spark, part1, out, resume=True)     # v1
+    n1 = read_sink(spark, out, "decisions").count()
+    run_pipeline(spark, path, out, resume=True)      # v2
+    n2 = read_sink(spark, out, "decisions").count()
+    assert n2 > n1
+    assert read_sink(spark, out, "decisions", version=1).count() == n1
+    v3 = snap.rollback(out, to_version=1)
+    assert v3 == 3
+    # latest read now sees only v1's data, while v2 still time-travels
+    assert read_sink(spark, out, "decisions").count() == n1
+    assert read_sink(spark, out, "decisions", version=2).count() == n2
 
 
 def test_battery_matches_failure_flags(spark, fixture_corpus):

@@ -66,6 +66,40 @@ def test_commit_conflict_retries_against_winner(spark, tmp_path):
     assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2, 7, 8, 50, 51]
 
 
+def test_truncated_manifest_is_uncommitted(spark, tmp_path):
+    """A crashed pre-publish writer (or foreign tool) leaving an empty or
+    half-written v<N>.json must NOT brick the table: unparsable manifests
+    are treated as uncommitted, and the next commit takes the version slot
+    arbitration into account (link publish loses to the existing name, so
+    the committer skips past it)."""
+    root = str(tmp_path / "tbl")
+    snap.append(_df(spark, 0, 3), root)
+    # simulate the old O_EXCL-then-crash window: v2 exists but is empty
+    bad = os.path.join(root, "_manifests", "v2.json")
+    with open(bad, "w"):
+        pass
+    # readers ignore it
+    assert snap.latest_version(root) == 1
+    assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2]
+    # a new append still succeeds (skips the squatted v2 slot) and its
+    # snapshot includes all committed rows
+    v = snap.append(_df(spark, 7, 9), root)
+    assert v >= 2
+    assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2, 7, 8]
+
+
+def test_manifest_publish_is_all_or_nothing(tmp_path):
+    """_try_commit never exposes a partial manifest: after a successful
+    commit the visible file parses; after a lost race the tmp file is
+    cleaned up and the winner's content is untouched."""
+    root = str(tmp_path / "tbl")
+    assert snap._try_commit(root, {"operation": "a", "committed_at": 0.0, "dirs": ["x"]}, 1)
+    assert not snap._try_commit(root, {"operation": "b", "committed_at": 1.0, "dirs": ["y"]}, 1)
+    assert snap._read_manifest(root, 1)["operation"] == "a"
+    leftovers = [f for f in os.listdir(os.path.join(root, "_manifests")) if f.startswith(".tmp")]
+    assert leftovers == []
+
+
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         snap.read_snapshot(spark, str(tmp_path / "nope"))
