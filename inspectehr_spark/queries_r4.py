@@ -1,0 +1,229 @@
+"""Round-4 registry batch: near-dup survivorship end-to-end, nearest-mode
+as-of join, snapshot time travel, and segment length stats.
+
+Each entry pairs a Spark query with a DuckDB oracle over the same parquet
+tables (driver hash-match contract: identical column names/types both
+sides, ROUND at source, BIGINT casts on int-ish outputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from inspectehr_spark.tables import table as _t
+
+
+def q_near_dup_survivors(spark, sf_dir):
+    """End-to-end near-dup survivorship — the keep/drop table a training
+    pipeline consumes: ANN pairs (ann.embedding_near_dup_pairs, bucketed
+    capped self-join) → duplicate clusters (graph.connected_components,
+    pointer-doubled min-label propagation) → survivor = smallest vec_id
+    per cluster → verdict joined back over the FULL embedding table
+    (vectors in no cluster survive trivially). The loser set is the
+    broadcast side — exactly the pipeline's broadcast dup-verdict shape
+    (pipeline/run.flag_exact_duplicates_broadcast)."""
+    from inspectehr_spark.ann import embedding_near_dup_pairs
+    from inspectehr_spark.operators.graph import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.35, bucket_col="label", bucket_cap=2000
+    )
+    comp = connected_components(pairs, src="vec_id_a", dst="vec_id_b")
+    # non-survivors only: node strictly greater than its component min
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("_loser"), F.col("component").alias("_comp")
+    )
+    return emb.join(
+        F.broadcast(losers), emb["vec_id"] == F.col("_loser"), "left"
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.coalesce(F.col("_comp"), F.col("vec_id")).cast("long").alias("component"),
+        F.col("_loser").isNull().alias("keep"),
+    )
+
+
+SQL_NEAR_DUP_SURVIVORS = """
+WITH RECURSIVE capped AS (
+  SELECT vec_id, label, embedding FROM (
+    SELECT vec_id, label, embedding,
+           ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= 2000
+),
+e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM capped
+),
+pairs AS (
+  SELECT vec_id_a, vec_id_b FROM (
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  ) WHERE cos_sim >= 0.35
+),
+edges AS (
+  SELECT vec_id_a AS a, vec_id_b AS b FROM pairs
+  UNION
+  SELECT vec_id_b, vec_id_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.n, e2.b FROM reach r JOIN edges e2 ON r.m = e2.a
+),
+comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+losers AS (SELECT node, component FROM comp WHERE node <> component)
+SELECT CAST(emb.vec_id AS BIGINT) AS vec_id,
+       CAST(COALESCE(l.component, emb.vec_id) AS BIGINT) AS component,
+       l.node IS NULL AS keep
+FROM embeddings emb LEFT JOIN losers l ON l.node = emb.vec_id
+"""
+
+
+def q_asof_nearest_view(spark, sf_dir):
+    """NEAREST-mode as-of join with a 2-hour tolerance (operators/asof.py
+    direction="nearest"): both carry directions evaluated over the SAME
+    single exchange, tolerance applied per side BEFORE choosing the
+    closer one, ties to backward. Oracle: two correlated extrema joins in
+    DuckDB picking the closer side by microsecond gap."""
+    from inspectehr_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["view_event_id"], direction="nearest", tolerance_sec=7200.0,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_view_event_id").alias("view_event_id"),
+        F.col("asof_ts").alias("view_ts"),
+    )
+
+
+SQL_ASOF_NEAREST_VIEW = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+b AS (
+  SELECT p.event_id, max(v.ts) AS mts
+  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+   AND epoch_us(p.ts) - epoch_us(v.ts) <= 7200000000
+  GROUP BY p.event_id
+),
+f AS (
+  SELECT p.event_id, min(v.ts) AS mts
+  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts
+   AND epoch_us(v.ts) - epoch_us(p.ts) <= 7200000000
+  GROUP BY p.event_id
+),
+pick AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         CASE WHEN b.mts IS NOT NULL
+                   AND (f.mts IS NULL
+                        OR epoch_us(p.ts) - epoch_us(b.mts)
+                           <= epoch_us(f.mts) - epoch_us(p.ts))
+              THEN b.mts ELSE f.mts END AS view_ts
+  FROM p
+  LEFT JOIN b ON b.event_id = p.event_id
+  LEFT JOIN f ON f.event_id = p.event_id
+)
+SELECT pick.event_id, pick.user_id, pick.ts, v.view_event_id, pick.view_ts
+FROM pick LEFT JOIN v
+  ON v.user_id = pick.user_id AND v.ts = pick.view_ts
+"""
+
+
+def q_decisions_history(spark, sf_dir):
+    """Snapshot TIME TRAVEL through the pipeline's commit machinery
+    (sources/snapshots.py — the same atomic-manifest path run_pipeline's
+    sinks ride): three versions committed (append 0-99, append 100-199,
+    replace with 900+), then the query reads version 2 — whose content
+    (doc_id < 200) must be unaffected by the later replace. The oracle
+    states that content declaratively. Scratch snapshots go to a fresh
+    temp dir per call (tiny: a few hundred rows)."""
+    import tempfile
+
+    from inspectehr_spark.sources import snapshots as snap
+
+    root = tempfile.mkdtemp(prefix="snap_tt_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    snap.append(docs.filter(F.col("doc_id") < 100), root)                    # v1
+    snap.append(docs.filter(F.col("doc_id").between(100, 199)), root)        # v2
+    snap.replace(docs.filter(F.col("doc_id") >= 900), root)                  # v3
+    tt = snap.read_snapshot(spark, root, version=2)
+    return tt.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+SQL_DECISIONS_HISTORY = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents WHERE doc_id < 200
+GROUP BY source, lang
+"""
+
+
+def q_segment_line_lengths(spark, sf_dir):
+    """Per-document segment length profile (the Gopher length-family lens
+    at segment granularity): count, mean chars and max chars of the
+    non-empty segments — pure zero-shuffle HOF projection; every lambda
+    touches only its bound variable (the repo's HOF staging rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    segs = F.filter(F.split(F.col("text"), " "), lambda s: s != "")
+    staged = docs.select("doc_id", segs.alias("_segs"))
+    lens = F.transform(F.col("_segs"), lambda s: F.length(s))
+    n = F.size(F.col("_segs"))
+    total = F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x)
+    return staged.select(
+        "doc_id",
+        n.cast("long").alias("n_segs"),
+        F.when(n > 0, F.round(total / n, 6)).alias("mean_seg_chars"),
+        F.array_max(lens).cast("long").alias("max_seg_chars"),
+    )
+
+
+SQL_SEGMENT_LINE_LENGTHS = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS segs
+  FROM documents
+),
+l AS (
+  SELECT doc_id, list_transform(segs, x -> length(x)) AS lens,
+         len(segs) AS n
+  FROM s
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_segs,
+       CASE WHEN n > 0
+            THEN ROUND(list_sum(lens) / CAST(n AS DOUBLE), 6) END
+         AS mean_seg_chars,
+       CAST(list_max(lens) AS BIGINT) AS max_seg_chars
+FROM l
+"""
+
+
+R4_QUERIES = {
+    "near_dup_survivors": (q_near_dup_survivors, SQL_NEAR_DUP_SURVIVORS),
+    "asof_nearest_view": (q_asof_nearest_view, SQL_ASOF_NEAREST_VIEW),
+    "decisions_history": (q_decisions_history, SQL_DECISIONS_HISTORY),
+    "segment_line_lengths": (q_segment_line_lengths, SQL_SEGMENT_LINE_LENGTHS),
+}

@@ -545,6 +545,25 @@ def test_connected_components_planted(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_deep_chain_logarithmic(spark):
+    """Pointer doubling: a 64-node chain (diameter 63) must converge in
+    O(log d) rounds, not 63 — plain per-hop min propagation would blow
+    the default max_iter. Labels still exact."""
+    from inspectehr_spark.operators.graph import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, stats=stats).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+    assert stats["rounds"] <= 10, stats  # log2(63) ≈ 6, slack for rounding
+
+
 def test_psi_identity_and_shift(spark):
     """PSI of the reference group against itself is exactly 0; a shifted
     distribution scores positive."""

@@ -72,3 +72,122 @@ def test_perplexity_udf_matches_serial(spark, texts):
     for i, t in enumerate(texts):
         expect = reference.perplexity_serial(spec.tokenize_py(t))
         assert abs(got[i] - expect) < 1e-9, repr(t)
+
+
+# ---------------------------------------------------------------------------
+# As-of join properties: random timestamp multisets (with ties and NULLs),
+# random tolerance, all three directions. Backward/forward check against
+# DuckDB's native ASOF JOIN; nearest against an explicit Python reference
+# (clearer tie semantics than any engine's: per-side tolerance, tie →
+# backward). Right side is collapsed to one row per (key, ts) first — the
+# operator's documented determinism contract.
+# ---------------------------------------------------------------------------
+
+_TS = st.one_of(st.integers(min_value=0, max_value=50), st.none())
+_ROWS = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=3), _TS),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _asof_frames(spark, lrows, rrows):
+    import datetime as dt
+
+    def ts(v):
+        return None if v is None else dt.datetime(2025, 1, 1) + dt.timedelta(seconds=v)
+
+    left = spark.createDataFrame(
+        [(i, k, ts(v)) for i, (k, v) in enumerate(lrows)],
+        "event_id long, k long, ts timestamp",
+    )
+    rmap = {}
+    for i, (k, v) in enumerate(rrows):
+        if v is None:
+            continue
+        rmap[(k, v)] = max(rmap.get((k, v), -1), i)
+    right = spark.createDataFrame(
+        [(k, ts(v), rid) for (k, v), rid in rmap.items()] or [(0, ts(0), 0)],
+        "k long, ts timestamp, rid long",
+    )
+    return left, right, rmap
+
+
+@settings(max_examples=3, deadline=None)
+@given(_ROWS, _ROWS, st.sampled_from([None, 5.0, 20.0]))
+def test_asof_backward_forward_vs_duckdb(spark, lrows, rrows, tol):
+    import duckdb
+
+    from inspectehr_spark.operators.asof import asof_join
+
+    left, right, _ = _asof_frames(spark, lrows, rrows)
+    lpd, rpd = left.toPandas(), right.toPandas()
+    con = duckdb.connect()
+    con.register("l", lpd)
+    con.register("r", rpd)
+    tol_us = None if tol is None else int(tol * 1e6)
+    for direction, op in (("backward", ">="), ("forward", "<=")):
+        got = {
+            r["event_id"]: (r["asof_rid"], r["asof_ts"])
+            for r in asof_join(
+                left, right, key="k", left_ts="ts", right_ts="ts",
+                payload=["rid"], direction=direction, tolerance_sec=tol,
+            ).collect()
+        }
+        gate = (
+            ""
+            if tol_us is None
+            else f"AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= {tol_us}"
+        )
+        # NULL left ts: our contract (and pandas merge_asof) = no match;
+        # DuckDB's ASOF sorts the NULL into a match, so compare only
+        # non-null left rows against it and assert the contract directly.
+        want = {
+            row[0]: (row[1], row[2])
+            for row in con.execute(
+                f"""SELECT l.event_id,
+                           CASE WHEN true {gate} THEN r.rid END AS rid,
+                           CASE WHEN true {gate} THEN r.ts END AS ts
+                    FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts {op} r.ts
+                    WHERE l.ts IS NOT NULL"""
+            ).fetchall()
+        }
+        for i, (_k, v) in enumerate(lrows):
+            if v is None:
+                assert got[i] == (None, None), (direction, i, got[i])
+            else:
+                assert got[i] == want[i], (direction, tol, i, got[i], want[i])
+    con.close()
+
+
+@settings(max_examples=3, deadline=None)
+@given(_ROWS, _ROWS, st.sampled_from([None, 5.0, 20.0]))
+def test_asof_nearest_vs_python_reference(spark, lrows, rrows, tol):
+    from inspectehr_spark.operators.asof import asof_join
+
+    left, right, rmap = _asof_frames(spark, lrows, rrows)
+    got = {
+        r["event_id"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            payload=["rid"], direction="nearest", tolerance_sec=tol,
+        ).collect()
+    }
+    rts = sorted(rmap)  # (k, v) keys, v int seconds
+    for i, (k, v) in enumerate(lrows):
+        if v is None:
+            assert got[i] is None, (i, k, v)
+            continue
+        back = [t for (rk, t) in rts if rk == k and t <= v
+                and (tol is None or v - t <= tol)]
+        fwd = [t for (rk, t) in rts if rk == k and t >= v
+               and (tol is None or t - v <= tol)]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if b is not None and (f is None or v - b <= f - v):
+            expect = rmap[(k, b)]
+        elif f is not None:
+            expect = rmap[(k, f)]
+        else:
+            expect = None
+        assert got[i] == expect, (i, k, v, b, f, got[i], expect)
