@@ -172,9 +172,13 @@ def main() -> None:
         for rep in range(args.reps):
             for cores in levels:
                 wlog = os.path.join(workdir, f"worker_{cores}_{rep}.log")
+                # memory offer must cover cores/2 executors × 4g each, or
+                # the master silently launches fewer executors than cores
+                # allow (observed: 16 cores / 24g → 6 executors, not 8)
+                mem_g = max(24, (cores // 2) * 4 + 8)
                 worker = _spark_class(
                     ["org.apache.spark.deploy.worker.Worker", MASTER_URL,
-                     "--cores", str(cores), "--memory", "24g",
+                     "--cores", str(cores), "--memory", f"{mem_g}g",
                      "--webui-port", "8090"],
                     f"0-{cores - 1}", wlog)
                 _wait_for(wlog, "registered with master")
@@ -197,16 +201,21 @@ def main() -> None:
 
     lo, hi = levels[0], levels[-1]
     factor = hi / lo
+    pairs = [(a, b) for i, a in enumerate(levels) for b in levels[i + 1:]]
     summary = {"metric": "executor_scaling", "docs": args.docs,
                "executors": {c: c // 2 for c in levels}, "modes": {}}
     for mode in ("engine", "pipeline"):
-        blo, bhi = min(results[lo][mode]), min(results[hi][mode])
-        eff = round((blo / bhi) / factor, 3)
+        best = {c: min(results[c][mode]) for c in levels}
+        eff_pairs = {
+            f"{a}->{b}": round((best[a] / best[b]) / (b / a), 3)
+            for a, b in pairs
+        }
         summary["modes"][mode] = {
             "walls": {c: results[c][mode] for c in levels},
-            "best": {lo: blo, hi: bhi},
-            "speedup": round(blo / bhi, 2),
-            "scaling_efficiency": eff,
+            "best": best,
+            "speedup": round(best[lo] / best[hi], 2),
+            "scaling_efficiency": round((best[lo] / best[hi]) / factor, 3),
+            "efficiency_pairs": eff_pairs,
         }
     print(json.dumps(summary))
 
@@ -219,15 +228,21 @@ def main() -> None:
             f"{args.reps} reps.\n\n"
             "| mode | "
             + " | ".join(f"{c} cores ({c // 2} exec)" for c in levels)
-            + " | speedup | efficiency |\n|---|"
-            + "---|" * (len(levels) + 2) + "\n"
+            + " | "
+            + " | ".join(f"eff {a}→{b}c" for a, b in pairs)
+            + " |\n|---|"
+            + "---|" * (len(levels) + len(pairs)) + "\n"
         )
         for mode in ("engine", "pipeline"):
             m = summary["modes"][mode]
             f.write(
                 f"| {mode} | "
                 + " | ".join(f"{min(results[c][mode])} s" for c in levels)
-                + f" | {m['speedup']}× | **{m['scaling_efficiency']}** |\n"
+                + " | "
+                + " | ".join(
+                    f"**{m['efficiency_pairs'][f'{a}->{b}']}**" for a, b in pairs
+                )
+                + " |\n"
             )
         f.write(
             "\nengine = scan → native features → hash-keyed dup window "

@@ -17,9 +17,13 @@ scalar. Three scale levers at 10^9-edge graphs:
   past contribution is already folded in — the per-round edge join
   shrinks with convergence instead of re-shuffling the full
   bidirectional edge list every round;
-- lineage must be CUT periodically (localCheckpoint; a reliable
-  checkpoint dir on a real cluster): without it the plan tree doubles
-  per iteration and Catalyst analysis itself becomes the bottleneck.
+- lineage must be CUT every couple of rounds (localCheckpoint; a
+  reliable checkpoint dir on a real cluster): the pointer-doubling
+  self-join DOUBLES the logical plan per round, so an uncut window of k
+  rounds carries 2^k plan subtrees and Catalyst analysis itself becomes
+  the bottleneck (measured here: interval 5 → 74 s for a 651-node
+  graph, interval 2 → 9.4 s; GraphFrames' CC defaults to interval 2
+  for the same reason).
 
 The min-reachable-id label is engine-independent, so a DuckDB recursive
 CTE over the same edge set is a FULL value oracle (see
@@ -39,7 +43,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 2,
     stats: dict | None = None,
 ) -> DataFrame:
     """Components of the undirected graph given by `edges`: returns
@@ -83,23 +87,35 @@ def connected_components(
                 F.col("label").alias("_old"),
                 F.least("label", F.coalesce("_nmin", "label")).alias("_l1"),
             )
-            # pointer doubling: also adopt the label OF my label-node —
-            # halves label-tree height, O(log d) total rounds. The join is
-            # keyed by label; near-dup clusters keep it narrow (labels
-            # converge to few values only in the final, tiny rounds).
-            lmap = l1.select(
-                F.col("node").alias("_mn"), F.col("_l1").alias("_ml")
-            )
-            stepped = (
-                l1.join(lmap, l1["_l1"] == F.col("_mn"), "left")
-                .select(
-                    "node",
-                    F.least("_l1", F.coalesce("_ml", "_l1")).alias("label"),
-                    (
-                        F.least("_l1", F.coalesce("_ml", "_l1")) < F.col("_old")
-                    ).alias("_chg"),
+            if it >= 2:
+                # pointer doubling: also adopt the label OF my label-node —
+                # halves label-tree height, O(log d) total rounds. The join
+                # is keyed by label; near-dup clusters keep it narrow
+                # (labels converge to few values only in tiny final
+                # rounds). Deferred past round 2: shallow components (the
+                # common near-dup case) converge before it would pay for
+                # its extra per-round join, while deep chains still get
+                # the logarithmic schedule from round 2 on.
+                lmap = l1.select(
+                    F.col("node").alias("_mn"), F.col("_l1").alias("_ml")
                 )
-            )
+                stepped = (
+                    l1.join(lmap, l1["_l1"] == F.col("_mn"), "left")
+                    .select(
+                        "node",
+                        F.least("_l1", F.coalesce("_ml", "_l1")).alias("label"),
+                        (
+                            F.least("_l1", F.coalesce("_ml", "_l1"))
+                            < F.col("_old")
+                        ).alias("_chg"),
+                    )
+                )
+            else:
+                stepped = l1.select(
+                    "node",
+                    F.col("_l1").alias("label"),
+                    (F.col("_l1") < F.col("_old")).alias("_chg"),
+                )
             if (it + 1) % checkpoint_every == 0:
                 stepped = stepped.localCheckpoint(eager=False)
             stepped = stepped.persist()
