@@ -348,13 +348,18 @@ def q_near_dup_components(spark, sf_dir):
     (operators/graph.connected_components — iterative min-label
     propagation, each round pure DataFrame algebra): component = smallest
     reachable vec_id, value-checked against a DuckDB recursive CTE over
-    the SAME pair set."""
+    the SAME pair set. Pairs come from the arrow GEMM engine — only pair
+    IDENTITY feeds the graph (no cosine values in the output), and the
+    sql/arrow engines emit identical pair sets (unit-asserted, and
+    re-verified at sf0.001/0.01/0.1/staged-sf1); at sf1 the sql HOF
+    cosine costs 58 s vs arrow's 4.5 s for the same 122k pairs."""
     from inspectehr_spark.ann import embedding_near_dup_pairs
     from inspectehr_spark.operators.graph import connected_components
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(
-        emb, threshold=0.35, bucket_col="label", bucket_cap=2000
+        emb, threshold=0.35, bucket_col="label", bucket_cap=2000,
+        engine="arrow",
     )
     return connected_components(pairs, src="vec_id_a", dst="vec_id_b").select(
         F.col("node").cast("long").alias("node"),

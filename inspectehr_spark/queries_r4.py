@@ -25,8 +25,11 @@ def q_near_dup_survivors(spark, sf_dir):
     from inspectehr_spark.operators.graph import connected_components
 
     emb = _t(spark, sf_dir, "embeddings")
+    # arrow pair engine: identical pair sets to the sql oracle baseline
+    # (asserted at every SF — see q_near_dup_components), 13× faster at sf1
     pairs = embedding_near_dup_pairs(
-        emb, threshold=0.35, bucket_col="label", bucket_cap=2000
+        emb, threshold=0.35, bucket_col="label", bucket_cap=2000,
+        engine="arrow",
     )
     comp = connected_components(pairs, src="vec_id_a", dst="vec_id_b")
     # non-survivors only: node strictly greater than its component min

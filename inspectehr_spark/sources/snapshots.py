@@ -106,17 +106,62 @@ def latest_version(root: str) -> int | None:
 
 
 def history(root: str) -> list[dict]:
-    """Commit log, oldest first: version, operation, timestamp, n_dirs."""
-    return [
-        {
+    """Commit log, oldest first: version, operation, timestamp, n_dirs
+    (for transaction manifests n_dirs counts across all tables and a
+    `tables` dir-count map is included)."""
+    out = []
+    for v in _versions(root):
+        m = _read_manifest(root, v)
+        tbls = m.get("tables", {})
+        entry = {
             "version": v,
             "operation": m["operation"],
             "committed_at": m["committed_at"],
-            "n_dirs": len(m["dirs"]),
+            "n_dirs": len(m["dirs"]) + sum(len(d) for d in tbls.values()),
         }
-        for v in _versions(root)
-        for m in (_read_manifest(root, v),)
-    ]
+        if tbls:
+            entry["tables"] = {k: len(d) for k, d in tbls.items()}
+        out.append(entry)
+    return out
+
+
+def vacuum(root: str, grace_sec: float = 24 * 3600.0) -> list[str]:
+    """Delete ORPHANED data directories: on-disk dirs referenced by NO
+    manifest (any version — time travel stays intact) and older than
+    `grace_sec` (mtime), so a writer mid-commit is never swept. The
+    Iceberg remove-orphan-files analog for crashed runs, which under the
+    atomic-commit protocol leave inert invisible data dirs behind.
+    Returns the deleted manifest-relative paths."""
+    import shutil
+
+    referenced: set[str] = set()
+    for v in _versions(root):
+        m = _read_manifest(root, v)
+        referenced.update(os.path.normpath(d) for d in m["dirs"])
+        for dirs in m.get("tables", {}).values():
+            referenced.update(os.path.normpath(d) for d in dirs)
+    now = time.time()
+    deleted: list[str] = []
+    # data dirs live at <root>/data/c* (single-table) or <root>/<name>/data/c*
+    candidates = []
+    top_data = os.path.join(root, _DATA)
+    if os.path.isdir(top_data):
+        candidates.append((top_data, _DATA))
+    for name in os.listdir(root):
+        sub = os.path.join(root, name, _DATA)
+        if name not in (_MANIFESTS, _DATA) and os.path.isdir(sub):
+            candidates.append((sub, os.path.join(name, _DATA)))
+    for abs_data, rel_data in candidates:
+        for d in os.listdir(abs_data):
+            rel = os.path.normpath(os.path.join(rel_data, d))
+            path = os.path.join(abs_data, d)
+            if rel in referenced or not os.path.isdir(path):
+                continue
+            if now - os.path.getmtime(path) < grace_sec:
+                continue
+            shutil.rmtree(path)
+            deleted.append(rel)
+    return sorted(deleted)
 
 
 def _try_commit(root: str, manifest: dict, version: int) -> bool:

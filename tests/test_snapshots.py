@@ -100,6 +100,38 @@ def test_manifest_publish_is_all_or_nothing(tmp_path):
     assert leftovers == []
 
 
+def test_vacuum_deletes_only_aged_orphans(spark, tmp_path):
+    """vacuum removes data dirs referenced by NO manifest version and
+    older than the grace period; committed dirs (any version, so time
+    travel survives) and fresh orphans stay."""
+    root = str(tmp_path / "tbl")
+    snap.append(_df(spark, 0, 3), root)           # v1 (referenced)
+    snap.replace(_df(spark, 5, 8), root)          # v2 (v1 dirs still in v1)
+    orphan = snap._write_data(_df(spark, 900, 950), root, 99, None)
+    # fresh orphan is protected by the grace period
+    assert snap.vacuum(root, grace_sec=3600) == []
+    # age it and vacuum again
+    os.utime(os.path.join(root, orphan), (0, 0))
+    assert snap.vacuum(root, grace_sec=3600) == [os.path.normpath(orphan)]
+    # every committed version still reads
+    assert _ids(snap.read_snapshot(spark, root, version=1)) == [0, 1, 2]
+    assert _ids(snap.read_snapshot(spark, root)) == [5, 6, 7]
+
+
+def test_vacuum_multi_table_orphans(spark, tmp_path):
+    """vacuum handles the transaction layout too: per-table data dirs
+    committed via commit_transaction stay, uncommitted ones go."""
+    root = str(tmp_path / "tbl")
+    rel = snap.write_table_data(_df(spark, 0, 3), root, "decisions", 1)
+    snap.commit_transaction(root, {"decisions": [rel]}, extra={"dates": ["d1"]})
+    orphan = snap.write_table_data(_df(spark, 9, 12), root, "decisions", 2)
+    os.utime(os.path.join(root, orphan), (0, 0))
+    assert snap.vacuum(root, grace_sec=3600) == [os.path.normpath(orphan)]
+    assert _ids(snap.read_table(spark, root, "decisions")) == [0, 1, 2]
+    h = snap.history(root)
+    assert h[-1]["operation"] == "txn" and h[-1]["tables"] == {"decisions": 1}
+
+
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         snap.read_snapshot(spark, str(tmp_path / "nope"))
