@@ -51,6 +51,7 @@ _DRIVER_PRIORITY = [
     "asof_nearest_view",
     "decisions_history",
     "segment_line_lengths",
+    "ngram_jaccard_adjacent",
 ]
 
 

@@ -224,9 +224,77 @@ FROM l
 """
 
 
+def q_ngram_jaccard_adjacent(spark, sf_dir):
+    """Exact word-3-gram Jaccard (operators/dedup.ngram_jaccard_pairs —
+    hashed distinct shingle sets, array_intersect/union on LONG arrays)
+    for a deterministic candidate blocking: each doc paired with the next
+    doc_id of the same source. Values equal the raw-string-gram oracle
+    barring a within-doc 64-bit shingle-hash collision (~1e-12 here)."""
+    from pyspark.sql import Window
+
+    from inspectehr_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select("source", "doc_id", F.lead("doc_id").over(w).alias("_nxt"))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            F.col("doc_id").alias("doc_id_a"), F.col("_nxt").alias("doc_id_b")
+        )
+    )
+    out = dedup.ngram_jaccard_pairs(docs, pairs, text_col="text", ngram=3)
+    return out.select(
+        F.col("doc_id_a").cast("long").alias("doc_id_a"),
+        F.col("doc_id_b").cast("long").alias("doc_id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+SQL_NGRAM_JACCARD_ADJACENT = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             list_transform(l, (x, i) -> CASE WHEN i <= len(l) - 2
+               THEN x || ' ' || l[i + 1] || ' ' || l[i + 2] END),
+             y -> y IS NOT NULL)) AS g
+    FROM toks
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+p AS (
+  SELECT doc_id_a, doc_id_b FROM (
+    SELECT doc_id AS doc_id_a,
+           lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS doc_id_b
+    FROM documents
+  ) WHERE doc_id_b IS NOT NULL
+),
+inter AS (
+  SELECT p.doc_id_a, p.doc_id_b, count(*) AS ni
+  FROM p
+  JOIN grams ga ON ga.doc_id = p.doc_id_a
+  JOIN grams gb ON gb.doc_id = p.doc_id_b AND gb.g = ga.g
+  GROUP BY p.doc_id_a, p.doc_id_b
+)
+SELECT CAST(p.doc_id_a AS BIGINT) AS doc_id_a,
+       CAST(p.doc_id_b AS BIGINT) AS doc_id_b,
+       ROUND(COALESCE(ni, 0) / CAST(sa.n + sb.n - COALESCE(ni, 0) AS DOUBLE), 6)
+         AS jaccard
+FROM p
+JOIN sizes sa ON sa.doc_id = p.doc_id_a
+JOIN sizes sb ON sb.doc_id = p.doc_id_b
+LEFT JOIN inter ON inter.doc_id_a = p.doc_id_a AND inter.doc_id_b = p.doc_id_b
+"""
+
+
 R4_QUERIES = {
     "near_dup_survivors": (q_near_dup_survivors, SQL_NEAR_DUP_SURVIVORS),
     "asof_nearest_view": (q_asof_nearest_view, SQL_ASOF_NEAREST_VIEW),
     "decisions_history": (q_decisions_history, SQL_DECISIONS_HISTORY),
     "segment_line_lengths": (q_segment_line_lengths, SQL_SEGMENT_LINE_LENGTHS),
+    "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD_ADJACENT),
 }

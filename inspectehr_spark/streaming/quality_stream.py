@@ -138,3 +138,43 @@ def stream_sessionize(
             "n_events",
         )
     )
+
+
+def snapshot_sink(
+    stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    partition_col: str | None = None,
+    trigger_once: bool = False,
+):
+    """Stream into a versioned snapshot table: each micro-batch commits
+    atomically through sources/snapshots.py (write the data dir
+    invisibly, then one link-published manifest), so downstream readers
+    only ever see whole micro-batches and can time-travel the ingest
+    history. Combined with the query checkpoint this is effectively-once:
+    a batch replayed after a crash re-appends, but the replay window is
+    the LAST uncommitted batch only, and `snapshots.rollback` can undo
+    it — the same recovery contract Iceberg's Spark streaming sink
+    documents.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from inspectehr_spark.sources import snapshots as snap
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        rel = snap.write_table_data(
+            batch_df, root, "stream", (snap.latest_version(root) or 0) + 1,
+            partition_col=partition_col,
+        )
+        snap.commit_transaction(
+            root, {"stream": [rel]}, extra={"batch_id": batch_id},
+            keep_prior=True,
+        )
+
+    writer = stream.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -177,3 +177,45 @@ def test_dedup_segments_corpus_hash_keyed(spark, sf_dir):
         if "xxhash64" in m:
             continue
         assert "seg#" not in m, m
+
+
+def test_segment_line_lengths_zero_shuffle(spark, sf_dir):
+    """The segment length profile is a pure per-row projection."""
+    fn, _ = QUERIES["segment_line_lengths"]
+    df = fn(spark, sf_dir)
+    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+
+
+def test_near_dup_survivors_broadcast_verdict(spark, sf_dir):
+    """The survivorship verdict joins the (tiny) loser set back onto the
+    full embedding table via broadcast — the wide table never shuffles
+    for the verdict, mirroring the pipeline's broadcast dup strategy."""
+    fn, _ = QUERIES["near_dup_survivors"]
+    df = fn(spark, sf_dir)
+    assert inspect.has_broadcast_join(df)
+    assert not inspect.has_cartesian(df)
+    plan = inspect.formatted_plan(df)
+    import re
+
+    # no exchange may be keyed on the embedding payload
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding#" not in m, m
+
+
+def test_asof_nearest_single_exchange(spark, sf_dir):
+    """Nearest-mode as-of evaluates BOTH carry directions over one
+    union: a single hash partitioning on the key, no join node, no
+    candidate-set blowup."""
+    fn, _ = QUERIES["asof_nearest_view"]
+    df = fn(spark, sf_dir)
+    assert not inspect.has_cartesian(df)
+    plan = inspect.formatted_plan(df)
+    import re
+
+    keys = {
+        m
+        for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        if "_k#" in m
+    }
+    # the union's window exchange is the only _k-keyed partitioning
+    assert len(keys) <= 1, keys

@@ -145,3 +145,32 @@ def test_stream_first_seen_dedup_across_restarts(spark, tmp_path_factory):
     ).coalesce(1).write.mode("append").parquet(str(src))
     # b is state-remembered across the restart; only c is new
     assert run() == ["a", "b", "c"]
+
+
+def test_snapshot_sink_commits_versioned_batches(spark, stream_dir, tmp_path_factory):
+    """Streaming into the snapshot store: every micro-batch is an atomic
+    committed version; the final table equals the batch input; ingest
+    history time-travels."""
+    from inspectehr_spark.sources import snapshots as snap
+    from inspectehr_spark.streaming.quality_stream import snapshot_sink
+
+    path, batch_df = stream_dir
+    root = str(tmp_path_factory.mktemp("snap_sink") / "tbl")
+    ckpt = str(tmp_path_factory.mktemp("snap_ckpt"))
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)   # force >=2 micro-batches
+        .parquet(os.path.dirname(path) + "/batch1")
+    )
+    q = snapshot_sink(stream, root, ckpt, trigger_once=True)
+    q.awaitTermination(180)
+
+    got = snap.read_table(spark, root, "stream")
+    assert got.count() == batch_df.count()
+    assert sorted(r[0] for r in got.select("doc_id").collect()) == list(range(200))
+    hist = snap.history(root)
+    assert len(hist) >= 2                      # one version per micro-batch
+    assert all(h["operation"] == "txn" for h in hist)
+    # time travel to the first committed batch: a strict subset
+    first = snap.read_table(spark, root, "stream", version=hist[0]["version"])
+    assert 0 < first.count() < batch_df.count()
