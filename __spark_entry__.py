@@ -52,6 +52,9 @@ _DRIVER_PRIORITY = [
     "decisions_history",
     "segment_line_lengths",
     "ngram_jaccard_adjacent",
+    "dataset_split",
+    "stratified_sample_docs",
+    "packed_bins",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Dataset-curation operators for training pipelines: deterministic
+splits, stratified samples, and greedy sequence packing.
+
+All three are built on engine-replayable determinism (md5 hex, window
+rank over a total order) so a DuckDB oracle can value-check them — the
+same replayability contract as the MinHash signature oracle
+(queries_episodes.py). None of them shuffle more than once, and the
+split assignment shuffles ZERO times (pure projection).
+
+Reference analog: none (inspectEHR consumes data, it doesn't curate
+training sets); part of the beyond-reference training-data operator set
+(SURVEY §8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — a pure PROJECTION, no
+    shuffle, stable across engines, runs and partitionings: bucket =
+    first two hex chars of md5('<salt>|<id>') (256 uniform buckets),
+    split = the interval the bucket falls in. Weights quantize to
+    1/256 granularity (documented in the output contract); an id keeps
+    its split under any re-partitioning or incremental re-run — the
+    property that matters when 10^12 docs are split incrementally."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {weights}")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 2
+    )
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        edge = format(int(cum * 256), "02x")
+        cond = bucket < F.lit(edge)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    out_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly k rows per group, chosen by a deterministic pseudo-random
+    total order (md5 of the id — uniform, engine-replayable, independent
+    of physical row order). ONE shuffle, keyed by the group. For
+    approximate sampling at extreme scale prefer df.sampleBy (no window);
+    this is the exact-k variant whose output is reproducible enough to
+    value-check."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn(out_col, F.row_number().over(w))
+        .filter(F.col(out_col) <= k)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    group_col: str,
+    order_col: str,
+    target_tokens: int,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Contiguous greedy sequence packing (the training-prep step that
+    turns documents into ~fixed-token-budget bins): within each group,
+    docs are taken in `order_col` order and doc d lands in bin
+    floor(tokens_before_d / target). ONE shuffle (the group window);
+    bins are contiguous ranges of the order, so a bin's docs co-locate
+    for the downstream concat. A doc longer than `target_tokens` gets a
+    bin of its own (the standard overflow rule of contiguous packing —
+    no doc is split)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return df.withColumn(
+        bin_col, F.floor(before / target_tokens).cast("long")
+    )

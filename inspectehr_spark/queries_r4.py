@@ -291,10 +291,103 @@ LEFT JOIN inter ON inter.doc_id_a = p.doc_id_a AND inter.doc_id_b = p.doc_id_b
 """
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.
+    assign_split): ZERO-shuffle projection, split = md5-bucket interval —
+    stable under re-partitioning and incremental re-runs, replayable in
+    any engine with md5 (the same oracle contract as the MinHash
+    signature)."""
+    from inspectehr_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_split(docs, id_col="doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "split"
+    )
+
+
+SQL_DATASET_SPLIT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+              THEN 'train'
+            WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Exact-k stratified sample (operators/sampling.stratified_sample):
+    5 docs per source under the deterministic md5 total order — one
+    group-keyed shuffle, reproducible across engines."""
+    from inspectehr_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", k=5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(rn AS BIGINT) AS sample_rank
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+def q_packed_bins(spark, sf_dir):
+    """Greedy contiguous sequence packing (operators/sampling.
+    pack_sequences): per-source token budget bins of ~2000 tokens, bin =
+    floor(tokens-before / target) over the doc_id order — ONE shuffle,
+    bins are contiguous order ranges so a bin's docs co-locate for the
+    downstream concat."""
+    from inspectehr_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_ntok", F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    )
+    return pack_sequences(
+        docs, token_col="_ntok", group_col="source", order_col="doc_id",
+        target_tokens=2000,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("_ntok").alias("n_tokens"),
+        "bin_id",
+    )
+
+
+SQL_PACKED_BINS = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - n_tokens) / 2000.0) AS BIGINT) AS bin_id
+FROM t
+"""
+
+
 R4_QUERIES = {
     "near_dup_survivors": (q_near_dup_survivors, SQL_NEAR_DUP_SURVIVORS),
     "asof_nearest_view": (q_asof_nearest_view, SQL_ASOF_NEAREST_VIEW),
     "decisions_history": (q_decisions_history, SQL_DECISIONS_HISTORY),
     "segment_line_lengths": (q_segment_line_lengths, SQL_SEGMENT_LINE_LENGTHS),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD_ADJACENT),
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+    "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
+    "packed_bins": (q_packed_bins, SQL_PACKED_BINS),
 }

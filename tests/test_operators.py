@@ -723,3 +723,60 @@ def test_dedup_segments_doc_and_corpus(spark, webdocs):
     assert corpus[1]["text_deduped"] == "big cat sat.\ntiny\nthe dog ran far away."
     assert corpus[2]["text_deduped"] == "new line here."
     assert (corpus[2]["lines_total"], corpus[2]["lines_kept"]) == (2, 1)
+
+
+def test_assign_split_deterministic_and_partition_invariant(spark):
+    """Split assignment is a pure function of the id: identical under
+    repartitioning, roughly proportional to the weights, and every id
+    gets exactly one split."""
+    from inspectehr_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 2000).selectExpr("id AS doc_id")
+    a = {r["doc_id"]: r["split"] for r in assign_split(df).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df.repartition(17)).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.04
+    assert abs(c["test"] / 2000 - 0.1) < 0.04
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        assign_split(df, weights={"train": 0.5, "val": 0.2})
+
+
+def test_stratified_sample_exact_k(spark):
+    from inspectehr_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 300).selectExpr("id AS doc_id", "id % 3 AS g")
+    out = stratified_sample(df, "g", k=7).collect()
+    from collections import Counter
+
+    per = Counter(r["g"] for r in out)
+    assert per == {0: 7, 1: 7, 2: 7}
+    # rerun identical (deterministic order)
+    again = stratified_sample(df, "g", k=7).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_pack_sequences_contiguous_and_overflow(spark):
+    """Bins are contiguous in order; a doc bigger than the target gets
+    its own bin boundary; bin token totals stay near the target."""
+    from inspectehr_spark.operators.sampling import pack_sequences
+
+    rows = [(i, "g", [50, 60, 900, 2500, 40, 30][i]) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, ntok long")
+    out = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_sequences(df, "ntok", "g", "doc_id", 1000).collect()
+    }
+    # before-totals: 0,50,110,1010,3510,3550 → bins 0,0,0,1,3,3
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 3, 5: 3}
+    # bins never interleave: doc order within a group maps to nondecreasing bins
+    assert [out[i] for i in range(6)] == sorted(out[i] for i in range(6))
