@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = [
     "dataset_split",
     "stratified_sample_docs",
     "packed_bins",
+    "decontaminate",
 ]
 
 

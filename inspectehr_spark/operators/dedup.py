@@ -339,3 +339,55 @@ def simhash_hamming_pairs(
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION (the eval-set n-gram overlap check every
+    training pipeline runs before a data release): flag corpus documents
+    sharing at least `min_hits` distinct word `ngram`-grams with any
+    benchmark document.
+
+    Scale shape: the benchmark gram set is tiny next to the corpus (eval
+    suites are MBs against TBs), so it BROADCASTS — the corpus side is a
+    scan → explode → broadcast-semi-join → re-aggregate on the doc id,
+    and only HIT rows (rare) enter the one aggregation shuffle. No
+    corpus self-join, no exchange keyed on text. Grams are xxhash64 of
+    the raw n-gram (the with_shingles path): a 64-bit collision flags a
+    clean doc with p ≈ n_corpus_grams × n_bench_grams / 2^64 — at 10^12
+    × 10^7 grams that is ~5×10^-1 FALSE POSITIVES per corpus, i.e. ~one
+    doc over-flagged in the worst case, the safe direction for
+    decontamination.
+
+    Returns (id_col, n_hits, contaminated) for EVERY corpus doc."""
+    bench_grams = (
+        with_shingles(benchmark, text_col=text_col, n=ngram)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    corpus_grams = (
+        with_shingles(
+            corpus.select(F.col(id_col), text_col), text_col=text_col, n=ngram
+        )
+        .select(id_col, F.explode(F.array_distinct("shingles")).alias("g"))
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

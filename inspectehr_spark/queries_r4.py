@@ -381,6 +381,52 @@ FROM t
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.contamination_flags):
+    flag corpus docs sharing any distinct word 8-gram with the benchmark
+    set (here the deterministic doc_id % 50 == 0 subset — which itself
+    comes back fully contaminated, a built-in positive control). Corpus
+    side: scan → explode → BROADCAST join of the tiny benchmark gram set
+    → one doc-keyed aggregation of hit rows only."""
+    from inspectehr_spark.operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_flags(docs, bench, ngram=8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_hits",
+        "contaminated",
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             list_transform(l, (x, i) -> CASE WHEN i <= len(l) - 7
+               THEN x || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                      || ' ' || l[i+4] || ' ' || l[i+5] || ' ' || l[i+6]
+                      || ' ' || l[i+7] END),
+             y -> y IS NOT NULL)) AS g
+    FROM toks
+  )
+),
+bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM g JOIN bg ON bg.g = g.g GROUP BY g.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
 R4_QUERIES = {
     "near_dup_survivors": (q_near_dup_survivors, SQL_NEAR_DUP_SURVIVORS),
     "asof_nearest_view": (q_asof_nearest_view, SQL_ASOF_NEAREST_VIEW),
@@ -390,4 +436,5 @@ R4_QUERIES = {
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
     "packed_bins": (q_packed_bins, SQL_PACKED_BINS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
 }

@@ -780,3 +780,31 @@ def test_pack_sequences_contiguous_and_overflow(spark):
     assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 3, 5: 3}
     # bins never interleave: doc order within a group maps to nondecreasing bins
     assert [out[i] for i in range(6)] == sorted(out[i] for i in range(6))
+
+
+def test_contamination_flags_planted(spark):
+    """Exact decontamination counts: a doc sharing one 8-gram window with
+    the benchmark is flagged with the right hit count; clean docs are
+    not; a benchmark member is fully contaminated."""
+    from inspectehr_spark.operators.dedup import contamination_flags
+
+    bench_text = " ".join(f"b{i}" for i in range(10))     # 3 distinct 8-grams
+    leak = " ".join(f"b{i}" for i in range(8))            # = bench 8-gram #1
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),                               # the benchmark doc itself
+            (2, "prefix " + leak),                         # one leaked window
+            (3, " ".join(f"c{i}" for i in range(20))),     # clean
+            (4, "too short"),                              # < 8 tokens: no grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = corpus.filter("doc_id = 1")
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in contamination_flags(corpus, bench, ngram=8).collect()
+    }
+    assert got[1] == (3, True)
+    assert got[2] == (1, True)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
