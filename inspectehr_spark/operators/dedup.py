@@ -242,10 +242,15 @@ def ngram_jaccard_pairs(
         .select(
             "doc_id_a",
             "doc_id_b",
-            (
+            # empty ∪ empty (docs under n tokens) defines Jaccard as 0.0 —
+            # guarded so 0/0 can't surface as NULL (or error under ANSI)
+            F.when(
+                F.size(F.array_union("sh_a", "sh_b")) > 0,
                 F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
         )
     )
 

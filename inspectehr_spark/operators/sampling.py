@@ -42,8 +42,16 @@ def assign_split(
     names = list(weights)
     for name in names[:-1]:
         cum += weights[name]
-        edge = format(int(cum * 256), "02x")
-        cond = bucket < F.lit(edge)
+        edge_int = int(cum * 256)
+        # A non-final split of cumulative weight 1.0 yields edge 256, which
+        # formats as the 3-char '100' — lexicographically BELOW most 2-char
+        # buckets, misrouting ~15/16 of rows. Every bucket is below it, so
+        # the condition is simply TRUE.
+        cond = (
+            F.lit(True)
+            if edge_int >= 256
+            else bucket < F.lit(format(edge_int, "02x"))
+        )
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (
         F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])

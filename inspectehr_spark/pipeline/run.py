@@ -176,9 +176,14 @@ def flag_exact_duplicates_broadcast(
         .select("url", F.lit(True).alias("_dup"))
     )
     if max_broadcast_urls is not None:
-        losers = losers.persist()
+        # The guard count runs the narrow shuffle once eagerly; on the
+        # (common) pass path the join recomputes it — deliberately NOT
+        # persisted: a persist here would pin up to `max_broadcast_urls`
+        # rows in executor storage for the session (leak), and the
+        # recompute is the cheap 24-byte/row projection. In run_pipeline
+        # the enrichment feeding it is already cached, so the recompute
+        # reads the cache, not the UDF stage.
         if losers.count() > max_broadcast_urls:
-            losers.unpersist()
             return flag_exact_duplicates(enriched)
     return (
         enriched.join(F.broadcast(losers), "url", "left")
@@ -316,8 +321,14 @@ def run_pipeline(
         t[key] = round(now - t0, 3)
         t0 = now
 
+    # p_date must be a TOTAL key: a NULL warc_ts would otherwise yield a
+    # NULL partition id that never matches the resume anti-join (those
+    # rows would reprocess and re-append every run) and a None that
+    # poisons sorted() over the committed date set. Null dates land in an
+    # explicit sentinel partition instead.
     pages = spark.read.parquet(pages_path).withColumn(
-        "p_date", F.to_date("warc_ts").cast("string")
+        "p_date",
+        F.coalesce(F.to_date("warc_ts").cast("string"), F.lit("__no_date__")),
     )
 
     if resume:

@@ -7,6 +7,8 @@ sides, ROUND at source, BIGINT casts on int-ish outputs)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from inspectehr_spark.tables import table as _t
@@ -156,16 +158,27 @@ def q_decisions_history(spark, sf_dir):
     replace with 900+), then the query reads version 2 — whose content
     (doc_id < 200) must be unaffected by the later replace. The oracle
     states that content declaratively. Scratch snapshots go to a fresh
-    temp dir per call (tiny: a few hundred rows)."""
+    temp dir per call — every version is BOUNDED (≤100 rows at any SF)
+    and stale dirs from prior invocations are best-effort reaped so
+    repeated bench/correctness sweeps don't accumulate /tmp usage."""
+    import glob
+    import shutil
     import tempfile
+    import time as _time
 
     from inspectehr_spark.sources import snapshots as snap
 
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), "snap_tt_*")):
+        try:
+            if _time.time() - os.path.getmtime(stale) > 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     root = tempfile.mkdtemp(prefix="snap_tt_")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     snap.append(docs.filter(F.col("doc_id") < 100), root)                    # v1
     snap.append(docs.filter(F.col("doc_id").between(100, 199)), root)        # v2
-    snap.replace(docs.filter(F.col("doc_id") >= 900), root)                  # v3
+    snap.replace(docs.filter(F.col("doc_id").between(900, 999)), root)       # v3
     tt = snap.read_snapshot(spark, root, version=2)
     return tt.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -282,11 +295,14 @@ inter AS (
 )
 SELECT CAST(p.doc_id_a AS BIGINT) AS doc_id_a,
        CAST(p.doc_id_b AS BIGINT) AS doc_id_b,
-       ROUND(COALESCE(ni, 0) / CAST(sa.n + sb.n - COALESCE(ni, 0) AS DOUBLE), 6)
-         AS jaccard
+       CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - COALESCE(ni, 0) > 0
+            THEN ROUND(COALESCE(ni, 0)
+                   / CAST(COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                          - COALESCE(ni, 0) AS DOUBLE), 6)
+            ELSE 0.0 END AS jaccard
 FROM p
-JOIN sizes sa ON sa.doc_id = p.doc_id_a
-JOIN sizes sb ON sb.doc_id = p.doc_id_b
+LEFT JOIN sizes sa ON sa.doc_id = p.doc_id_a
+LEFT JOIN sizes sb ON sb.doc_id = p.doc_id_b
 LEFT JOIN inter ON inter.doc_id_a = p.doc_id_a AND inter.doc_id_b = p.doc_id_b
 """
 

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -65,34 +66,37 @@ def _parsable(path: str) -> bool:
         return False
 
 
+_MANIFEST_NAME = re.compile(r"^v(\d+)\.json$")
+
+
 def _raw_versions(root: str) -> list[int]:
-    """Every v<N>.json name present, parsable or not — used only for commit
-    version allocation, so a squatted/truncated slot is skipped rather than
-    retried forever."""
+    """Every v<N>.json name present, parsable or not — used for commit
+    version allocation (a squatted/truncated slot is skipped rather than
+    retried forever) and the latest-version walk. Foreign files in the
+    manifest dir (vacuum logs, editor droppings) are ignored by the
+    strict name regex instead of crashing int()."""
     d = _manifest_dir(root)
     if not os.path.isdir(d):
         return []
     return sorted(
-        int(f[1:-5])
+        int(m.group(1))
         for f in os.listdir(d)
-        if f.startswith("v") and f.endswith(".json")
+        for m in (_MANIFEST_NAME.match(f),)
+        if m
     )
 
 
 def _versions(root: str) -> list[int]:
-    d = _manifest_dir(root)
-    if not os.path.isdir(d):
-        return []
     # A manifest that fails to parse (e.g. left by a crashed pre-link-publish
     # writer) is uncommitted: skipping it keeps the table readable instead of
     # bricking every latest_version()-based read on a JSONDecodeError.
-    return sorted(
-        int(f[1:-5])
-        for f in os.listdir(d)
-        if f.startswith("v")
-        and f.endswith(".json")
-        and _parsable(os.path.join(d, f))
-    )
+    # Parses every manifest — use only where the full list is needed
+    # (history, vacuum); hot paths use latest_version()'s top-down walk.
+    d = _manifest_dir(root)
+    return [
+        v for v in _raw_versions(root)
+        if _parsable(os.path.join(d, f"v{v}.json"))
+    ]
 
 
 def _read_manifest(root: str, version: int) -> dict:
@@ -101,8 +105,16 @@ def _read_manifest(root: str, version: int) -> dict:
 
 
 def latest_version(root: str) -> int | None:
-    vs = _versions(root)
-    return vs[-1] if vs else None
+    """Newest PARSABLE version — walks raw version names from the top and
+    stops at the first parsable manifest, so the common case is O(1)
+    parses regardless of history length (a streaming sink commits once
+    per micro-batch; parsing all V manifests per commit would make a
+    long-lived table O(V²) cumulative)."""
+    d = _manifest_dir(root)
+    for v in reversed(_raw_versions(root)):
+        if _parsable(os.path.join(d, f"v{v}.json")):
+            return v
+    return None
 
 
 def history(root: str) -> list[dict]:
@@ -191,8 +203,18 @@ def _commit(root: str, operation: str, new_dirs: list[str], keep_prior: bool,
     for _ in range(max_retries):
         cur = latest_version(root)
         dirs = list(new_dirs)
+        mtables, mextra = tables, extra
         if keep_prior and cur is not None:
-            dirs = _read_manifest(root, cur)["dirs"] + dirs
+            prior = _read_manifest(root, cur)
+            dirs = prior["dirs"] + dirs
+            # Mixed-mode safety: a single-table append on a root whose
+            # latest manifest is a multi-table transaction must CARRY the
+            # transaction content through, not silently drop it (which
+            # would make every read_table see an 'empty' table).
+            if mtables is None and prior.get("tables"):
+                mtables = prior["tables"]
+            if mextra is None and prior.get("extra"):
+                mextra = prior["extra"]
         raw = _raw_versions(root)
         nxt = max(cur or 0, raw[-1] if raw else 0) + 1
         manifest = {
@@ -200,10 +222,10 @@ def _commit(root: str, operation: str, new_dirs: list[str], keep_prior: bool,
             "committed_at": time.time(),
             "dirs": dirs,
         }
-        if tables is not None:
-            manifest["tables"] = tables
-        if extra is not None:
-            manifest["extra"] = extra
+        if mtables is not None:
+            manifest["tables"] = mtables
+        if mextra is not None:
+            manifest["extra"] = mextra
         if _try_commit(root, manifest, nxt):
             return nxt
     raise CommitConflict(f"lost {max_retries} commit races at {root}")
@@ -290,8 +312,10 @@ def commit_transaction(
         cur = latest_version(root)
         tbls = {k: list(v) for k, v in tables_rel.items()}
         ex = dict(extra or {})
+        dirs: list[str] = []
         if keep_prior and cur is not None:
             m = _read_manifest(root, cur)
+            dirs = list(m.get("dirs", []))  # carry single-table content too
             for k, prior in m.get("tables", {}).items():
                 tbls[k] = prior + tbls.get(k, [])
             prior_dates = m.get("extra", {}).get("dates", [])
@@ -304,7 +328,7 @@ def commit_transaction(
             "committed_at": time.time(),
             "tables": tbls,
             "extra": ex,
-            "dirs": [],
+            "dirs": dirs,
         }
         if _try_commit(root, manifest, nxt):
             return nxt

@@ -140,6 +140,37 @@ def stream_sessionize(
     )
 
 
+def _commit_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    partition_col: str | None = None,
+) -> bool:
+    """Commit one micro-batch as a snapshot version; returns False when
+    skipped. EXACTLY-ONCE under replay: the latest manifest's
+    `extra.batch_id` records the last committed batch, so a batch
+    replayed after a crash between our commit and Spark's checkpoint
+    commit-log write is recognized and skipped instead of re-appended
+    (the same idempotent-commit handshake Iceberg's streaming sink does
+    with its snapshot summary's batch id)."""
+    from inspectehr_spark.sources import snapshots as snap
+
+    last = snap.latest_extra(root).get("batch_id")
+    if last is not None and batch_id <= last:
+        return False                      # already committed; crash replay
+    if not batch_df.take(1):
+        return False
+    rel = snap.write_table_data(
+        batch_df, root, "stream", (snap.latest_version(root) or 0) + 1,
+        partition_col=partition_col,
+    )
+    snap.commit_transaction(
+        root, {"stream": [rel]}, extra={"batch_id": batch_id},
+        keep_prior=True,
+    )
+    return True
+
+
 def snapshot_sink(
     stream: DataFrame,
     root: str,
@@ -151,26 +182,15 @@ def snapshot_sink(
     atomically through sources/snapshots.py (write the data dir
     invisibly, then one link-published manifest), so downstream readers
     only ever see whole micro-batches and can time-travel the ingest
-    history. Combined with the query checkpoint this is effectively-once:
-    a batch replayed after a crash re-appends, but the replay window is
-    the LAST uncommitted batch only, and `snapshots.rollback` can undo
-    it — the same recovery contract Iceberg's Spark streaming sink
-    documents.
+    history. Replay-safe: the committed batch id rides in the manifest
+    and `_commit_stream_batch` skips batches at-or-below it, closing
+    the crash window between snapshot commit and Spark's checkpoint
+    commit-log write.
 
     Returns the started StreamingQuery (caller awaits/stops)."""
-    from inspectehr_spark.sources import snapshots as snap
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        rel = snap.write_table_data(
-            batch_df, root, "stream", (snap.latest_version(root) or 0) + 1,
-            partition_col=partition_col,
-        )
-        snap.commit_transaction(
-            root, {"stream": [rel]}, extra={"batch_id": batch_id},
-            keep_prior=True,
-        )
+        _commit_stream_batch(batch_df, batch_id, root, partition_col)
 
     writer = stream.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint_dir

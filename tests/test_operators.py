@@ -808,3 +808,34 @@ def test_contamination_flags_planted(spark):
     assert got[2] == (1, True)
     assert got[3] == (0, False)
     assert got[4] == (0, False)
+
+
+def test_assign_split_full_weight_edge(spark):
+    """A non-final split of cumulative weight 1.0 must receive EVERY row
+    (edge 256 formats as 3-char '100' and would otherwise lose the
+    lexicographic compare for ~15/16 of buckets)."""
+    from inspectehr_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 500).selectExpr("id AS doc_id")
+    out = assign_split(df, weights={"train": 1.0, "test": 0.0})
+    assert out.filter("split != 'train'").count() == 0
+
+
+def test_ngram_jaccard_short_docs_zero(spark):
+    """Docs below the n-gram width have empty shingle sets: Jaccard is
+    defined as 0.0, not NULL (or an ANSI 0/0 error)."""
+    from inspectehr_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "three"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, pairs).collect()
+    }
+    assert got[(1, 2)] == 0.0     # both empty
+    assert got[(1, 3)] == 0.0     # one empty, one not

@@ -296,3 +296,31 @@ def test_dup_strategies_agree_and_broadcast_plan(spark, fixture_corpus, tmp_path
     # the broadcast one must not reference it anywhere in an Exchange
     wide_plan = flag_exact_duplicates(en)._jdf.queryExecution().executedPlan().toString()
     assert "Window" in wide_plan
+
+
+def test_null_warc_ts_resumes_cleanly(spark, tmp_path_factory):
+    """A NULL warc_ts must land in the sentinel partition, resume without
+    crashing sorted() over the date set, and never re-append (the NULL
+    key would miss the anti-join every run)."""
+    import datetime as dt
+
+    rows = [
+        ("https://x/1", dt.datetime(2025, 3, 1), b"<html><p>one doc here</p></html>", "one doc here", "en"),
+        ("https://x/2", None, b"<html><p>no timestamp doc</p></html>", "no timestamp doc", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    src = str(tmp_path_factory.mktemp("null_ts") / "pages.parquet")
+    df.write.parquet(src)
+    out = str(tmp_path_factory.mktemp("null_ts_out"))
+    s1 = run_pipeline(spark, src, out, resume=True)
+    assert s1["rows"] == 2
+    assert s1["partitions_processed"] == 2        # real date + __no_date__
+    s2 = run_pipeline(spark, src, out, resume=True)
+    assert s2["partitions_processed"] == 0        # nothing reprocessed
+    dec = read_sink(spark, out, "decisions")
+    assert dec.count() == 2                       # and nothing duplicated
+    assert {str(r["p_date"]) for r in dec.select("p_date").distinct().collect()} == {
+        "2025-03-01", "__no_date__"
+    }

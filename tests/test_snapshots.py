@@ -149,3 +149,36 @@ def test_partitioned_append(spark, tmp_path):
     assert any(
         x.startswith("p=") for x in os.listdir(os.path.join(root, "data", ddir))
     )
+
+
+def test_foreign_manifest_files_ignored(spark, tmp_path):
+    """Non-manifest files in _manifests/ (vacuum logs, editor droppings)
+    must not crash version listing (int() on a regex-validated name)."""
+    root = str(tmp_path / "tbl")
+    snap.append(_df(spark, 0, 3), root)
+    for name in ("vacuum-log.json", "v1.json.json", "v.json", "notes.txt"):
+        with open(os.path.join(root, "_manifests", name), "w") as f:
+            f.write("{}")
+    assert snap.latest_version(root) == 1
+    assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2]
+    assert snap.append(_df(spark, 7, 9), root) == 2
+
+
+def test_mixed_mode_commit_carries_other_shape(spark, tmp_path):
+    """A single-table append on a transaction root carries the txn
+    tables/extra through (and vice versa) instead of silently hiding
+    committed data."""
+    root = str(tmp_path / "tbl")
+    rel = snap.write_table_data(_df(spark, 0, 3), root, "decisions", 1)
+    snap.commit_transaction(root, {"decisions": [rel]}, extra={"dates": ["d1"]})
+    # single-table append on the same root
+    snap.append(_df(spark, 50, 52), root)
+    assert _ids(snap.read_table(spark, root, "decisions")) == [0, 1, 2]
+    assert snap.latest_extra(root).get("dates") == ["d1"]
+    assert _ids(snap.read_snapshot(spark, root)) == [50, 51]
+    # and a txn commit carries the single-table dirs through
+    rel2 = snap.write_table_data(_df(spark, 5, 7), root, "decisions", 3)
+    snap.commit_transaction(root, {"decisions": [rel2]}, extra={"dates": ["d2"]})
+    assert _ids(snap.read_snapshot(spark, root)) == [50, 51]
+    assert _ids(snap.read_table(spark, root, "decisions")) == [0, 1, 2, 5, 6]
+    assert snap.latest_extra(root).get("dates") == ["d1", "d2"]

@@ -174,3 +174,22 @@ def test_snapshot_sink_commits_versioned_batches(spark, stream_dir, tmp_path_fac
     # time travel to the first committed batch: a strict subset
     first = snap.read_table(spark, root, "stream", version=hist[0]["version"])
     assert 0 < first.count() < batch_df.count()
+
+
+def test_snapshot_sink_batch_replay_idempotent(spark, stream_dir, tmp_path_factory):
+    """Crash between snapshot commit and Spark's checkpoint commit-log
+    write replays the batch — the committed batch_id in the manifest must
+    make the replay a no-op, not a duplicate append."""
+    from inspectehr_spark.sources import snapshots as snap
+    from inspectehr_spark.streaming.quality_stream import _commit_stream_batch
+
+    _path, batch_df = stream_dir
+    root = str(tmp_path_factory.mktemp("snap_replay") / "tbl")
+    assert _commit_stream_batch(batch_df, 0, root) is True
+    n = snap.read_table(spark, root, "stream").count()
+    assert _commit_stream_batch(batch_df, 0, root) is False   # replay skipped
+    assert snap.read_table(spark, root, "stream").count() == n
+    assert len(snap.history(root)) == 1
+    # the NEXT batch still commits
+    assert _commit_stream_batch(batch_df.limit(5), 1, root) is True
+    assert snap.read_table(spark, root, "stream").count() == n + 5
