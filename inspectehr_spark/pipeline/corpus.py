@@ -53,6 +53,7 @@ class PlantedCounts:
     too_long: list[str] = field(default_factory=list)
     bad_lang: list[str] = field(default_factory=list)
     pii: list[str] = field(default_factory=list)
+    toxic: list[str] = field(default_factory=list)
     high_symbol: list[str] = field(default_factory=list)
     repeated_ngram: list[str] = field(default_factory=list)
     exact_dup: list[str] = field(default_factory=list)
@@ -149,6 +150,15 @@ def generate_pages(
         elif kind == 8 and i % 200 == 8:
             text = _text(rng, lang, 30000)  # ~175 kB doc → skew bucket
             planted.giant.append(url)
+        elif kind == 9:
+            base = _text(rng, lang, n_words)
+            tox_bits = [
+                "that crudword remark",
+                "such a VulgWord here",
+                "total SLURX content",
+            ]
+            text = base + " " + tox_bits[i % len(tox_bits)]
+            planted.toxic.append(url)
         else:
             text = _text(rng, lang, n_words)
             last_clean_text = text

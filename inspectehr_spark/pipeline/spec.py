@@ -117,14 +117,21 @@ def token_cost(tok: str) -> int:
     return 400 + (zlib.crc32(t.encode("utf-8")) % 900)
 
 
-# --- PII scrub chain ----------------------------------------------------------
+# --- PII/toxicity scrub chain -------------------------------------------------
 # Ordered (pattern, replacement); applied strictly in order. ASCII-only
-# classes → Java regex and Python re agree byte-for-byte.
+# classes → Java regex and Python re agree byte-for-byte. The toxicity
+# stage is a word-boundary blocklist alternation ((?i) is ASCII-identical
+# in both engines); the terms here are SYNTHETIC placeholders — a real
+# deployment swaps in its moderation list, the mechanism (ordered
+# JVM-native regexp_replace, byte-deterministic vs the serial labeler)
+# is what's under test.
+TOX_TERMS = ("crudword", "vulgword", "slurx")
 SCRUB_CHAIN = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b0\d{4}[ ]?\d{3}[ ]?\d{3}\b", "<PHONE>"),
     (r"\b[A-Z]{1,2}[0-9][A-Z0-9]? ?[0-9][A-Z]{2}\b", "<POSTCODE>"),
     (r"\b\d{10}\b", "<ID>"),
+    (r"(?i)\b(?:" + "|".join(TOX_TERMS) + r")\b", "<TOX>"),
 )
 
 # --- tokenization -------------------------------------------------------------

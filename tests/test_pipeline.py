@@ -103,6 +103,14 @@ def test_planted_errors_detected(spark, pipeline_out):
         txt = got[url][2]
         assert "@" not in txt, url
         assert "<EMAIL>" in txt or "<PHONE>" in txt or "<POSTCODE>" in txt or "<ID>" in txt, url
+    # toxicity terms are scrubbed case-insensitively
+    from inspectehr_spark.pipeline import spec as _spec
+
+    for url in planted.toxic:
+        txt = got[url][2]
+        assert "<TOX>" in txt, url
+        low = txt.lower()
+        assert not any(t in low for t in _spec.TOX_TERMS), url
 
 
 def test_metrics_cover_all_partitions_and_checks(spark, pipeline_out):
