@@ -219,3 +219,25 @@ def test_asof_nearest_single_exchange(spark, sf_dir):
     }
     # the union's window exchange is the only _k-keyed partitioning
     assert len(keys) <= 1, keys
+
+
+def test_dataset_split_zero_shuffle(spark, sf_dir):
+    """Split assignment is a pure projection — no Exchange anywhere."""
+    fn, _ = QUERIES["dataset_split"]
+    df = fn(spark, sf_dir)
+    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set joins via broadcast; the corpus TEXT never
+    keys an exchange — only int64 gram hashes (the tiny benchmark-side
+    distinct) and the doc-id aggregation of hit rows shuffle."""
+    fn, _ = QUERIES["decontaminate"]
+    df = fn(spark, sf_dir)
+    assert inspect.has_broadcast_join(df)
+    assert not inspect.has_cartesian(df)
+    plan = inspect.formatted_plan(df)
+    import re
+
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m, m
