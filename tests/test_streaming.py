@@ -193,3 +193,34 @@ def test_snapshot_sink_batch_replay_idempotent(spark, stream_dir, tmp_path_facto
     # the NEXT batch still commits
     assert _commit_stream_batch(batch_df.limit(5), 1, root) is True
     assert snap.read_table(spark, root, "stream").count() == n + 5
+
+
+def test_dedup_snapshot_sink_drops_corpus_history_dups(spark, tmp_path_factory):
+    """Corpus-history dedup through the snapshot index: a text committed
+    in batch 0 is dropped from batch 1; within-batch dups keep-first by
+    id; replay of a committed batch is a no-op; survivors and hashes
+    commit together."""
+    from inspectehr_spark.sources import snapshots as snap
+    from inspectehr_spark.streaming.quality_stream import _dedup_commit_batch
+
+    root = str(tmp_path_factory.mktemp("dedup_sink") / "tbl")
+    b0 = spark.createDataFrame(
+        [("u1", "alpha text"), ("u2", "beta text"), ("u3", "alpha text")],
+        "url string, text string",
+    )
+    assert _dedup_commit_batch(b0, 0, root, "text", "url") == 2   # u3 intra-batch dup
+    got0 = {r["url"] for r in snap.read_table(spark, root, "stream").collect()}
+    assert got0 == {"u1", "u2"}
+
+    b1 = spark.createDataFrame(
+        [("u4", "beta text"), ("u5", "gamma text")],
+        "url string, text string",
+    )
+    assert _dedup_commit_batch(b1, 1, root, "text", "url") == 1   # beta known
+    got1 = {r["url"] for r in snap.read_table(spark, root, "stream").collect()}
+    assert got1 == {"u1", "u2", "u5"}
+    # hash index stayed in lockstep with the data
+    assert snap.read_table(spark, root, "hashes").count() == 3
+    # replay of batch 1 is a no-op
+    assert _dedup_commit_batch(b1, 1, root, "text", "url") == 0
+    assert snap.read_table(spark, root, "stream").count() == 3
