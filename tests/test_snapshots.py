@@ -182,3 +182,30 @@ def test_mixed_mode_commit_carries_other_shape(spark, tmp_path):
     assert _ids(snap.read_snapshot(spark, root)) == [50, 51]
     assert _ids(snap.read_table(spark, root, "decisions")) == [0, 1, 2, 5, 6]
     assert snap.latest_extra(root).get("dates") == ["d1", "d2"]
+
+
+def test_concurrent_appends_all_serialize(spark, tmp_path):
+    """N threads appending concurrently: optimistic retry serializes every
+    commit — no version collisions, no lost rows, final snapshot is the
+    union of all appends."""
+    import threading
+
+    root = str(tmp_path / "tbl")
+    errs: list[Exception] = []
+
+    def appender(k: int) -> None:
+        try:
+            snap.append(_df(spark, k * 10, k * 10 + 3), root)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(k,)) for k in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    vs = [h["version"] for h in snap.history(root)]
+    assert vs == [1, 2, 3, 4, 5]              # every commit got its own version
+    expect = sorted(x for k in range(5) for x in (k * 10, k * 10 + 1, k * 10 + 2))
+    assert _ids(snap.read_snapshot(spark, root)) == expect
