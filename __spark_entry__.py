@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = [
     "stratified_sample_docs",
     "packed_bins",
     "decontaminate",
+    "multimodal_image_features",
 ]
 
 

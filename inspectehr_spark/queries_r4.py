@@ -443,6 +443,67 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 """
 
 
+def q_multimodal_image_features(spark, sf_dir):
+    """Multimodal decode path with a FULL VALUE ORACLE: deterministic
+    IMG1 binaries are synthesized per doc_id (every ~29th corrupted),
+    decoded via the Arrow-batched mapInPandas feature extractor
+    (pipeline/multimodal.decode_image_features — the real-codec slot
+    swaps in PIL unchanged), and the oracle reproduces width/height/
+    n_bytes analytically plus the payload mean in closed form (the
+    (seed+i)%256 ramp wraps at most once for L<256)."""
+    import pandas as pd
+
+    from inspectehr_spark.pipeline.multimodal import (
+        decode_image_features, encode_image,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 29 == 0:
+                    img = b"IMG1" + b"\x00\x00\x00\x01"   # truncated: invalid
+                else:
+                    img = encode_image(4 + d % 13, 4 + d % 7, seed=d % 256)
+                out.append((d, img))
+            yield pd.DataFrame(out, columns=["doc_id", "image"])
+
+    imgs = docs.mapInPandas(gen, "doc_id long, image binary")
+    feats = decode_image_features(imgs)
+    return feats.select(
+        "doc_id", "format", "width", "height", "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
+
+
+SQL_MULTIMODAL_IMAGE_FEATURES = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 29 = 0 AS bad,
+         CAST(4 + doc_id % 13 AS INTEGER) AS w,
+         CAST(4 + doc_id % 7 AS INTEGER) AS h,
+         doc_id % 256 AS s
+  FROM documents
+),
+q AS (SELECT *, w * h AS L FROM p)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN bad THEN 'invalid' ELSE 'IMG1' END AS format,
+       CASE WHEN bad THEN NULL ELSE w END AS width,
+       CASE WHEN bad THEN NULL ELSE h END AS height,
+       CAST(CASE WHEN bad THEN 8 ELSE 12 + L END AS BIGINT) AS n_bytes,
+       CASE WHEN bad THEN NULL
+            ELSE ROUND(
+              (L * s + (L * (L - 1)) // 2
+                 - 256 * greatest(0, s + L - 256))
+              / CAST(L AS DOUBLE), 6)
+       END AS mean_byte
+FROM q
+"""
+
+
 R4_QUERIES = {
     "near_dup_survivors": (q_near_dup_survivors, SQL_NEAR_DUP_SURVIVORS),
     "asof_nearest_view": (q_asof_nearest_view, SQL_ASOF_NEAREST_VIEW),
@@ -453,4 +514,5 @@ R4_QUERIES = {
     "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
     "packed_bins": (q_packed_bins, SQL_PACKED_BINS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "multimodal_image_features": (q_multimodal_image_features, SQL_MULTIMODAL_IMAGE_FEATURES),
 }
