@@ -42,7 +42,11 @@ def assign_split(
     names = list(weights)
     for name in names[:-1]:
         cum += weights[name]
-        edge_int = int(cum * 256)
+        # +1e-6 absorbs float accumulation (0.9 + 0.1 = 0.999...9 must be
+        # edge 256, not 255 — a zero-weight FINAL split would otherwise
+        # steal bucket 0xff from the last real split); the epsilon is far
+        # below the 1/256 bucket granularity, so real edges are unmoved.
+        edge_int = int(cum * 256 + 1e-6)
         # A non-final split of cumulative weight 1.0 yields edge 256, which
         # formats as the 3-char '100' — lexicographically BELOW most 2-char
         # buckets, misrouting ~15/16 of rows. Every bucket is below it, so

@@ -22,6 +22,12 @@ from inspectehr_spark.functions.textfns import ALL_STOPWORDS
 _TS_LO = dt.datetime.fromisoformat(spec.TS_LO_ISO)
 _TS_HI = dt.datetime.fromisoformat(spec.TS_HI_ISO)
 
+# Default (Unicode) compile matches Java/Spark behavior: Java's \b is
+# Unicode-aware (empirically 'é1234567890' does NOT match \b\d{10}\b in
+# either engine), same as Python's default — re.ASCII would DIVERGE.
+# Case-insensitivity is therefore expressed with explicit [cC] classes
+# in the spec, never (?i), whose case folding IS engine-dependent
+# (Python folds ſ→s, Java does not without UNICODE_CASE).
 _SCRUB = [(re.compile(p), r) for p, r in spec.SCRUB_CHAIN]
 _VOCAB, _PROFILES = spec.build_profiles()
 _VOCAB_SET = frozenset(_VOCAB)

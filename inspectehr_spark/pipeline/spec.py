@@ -118,20 +118,35 @@ def token_cost(tok: str) -> int:
 
 
 # --- PII/toxicity scrub chain -------------------------------------------------
-# Ordered (pattern, replacement); applied strictly in order. ASCII-only
-# classes → Java regex and Python re agree byte-for-byte. The toxicity
-# stage is a word-boundary blocklist alternation ((?i) is ASCII-identical
-# in both engines); the terms here are SYNTHETIC placeholders — a real
-# deployment swaps in its moderation list, the mechanism (ordered
-# JVM-native regexp_replace, byte-deterministic vs the serial labeler)
-# is what's under test.
+# Ordered (pattern, replacement); applied strictly in order. Engine
+# parity rules (Spark regexp_replace = Java defaults vs the Python
+# serial labeler): \b is Unicode-aware in BOTH engines' defaults (the
+# labeler compiles with default flags — re.ASCII would diverge), and
+# case-insensitivity is expressed with explicit [cC] classes, NEVER
+# (?i), whose case folding differs (Python folds ſ→s, Java doesn't
+# without UNICODE_CASE). Verified by a non-ASCII adversarial fuzz in
+# addition to the byte-parity property tests. The toxicity stage is a
+# word-boundary blocklist alternation; the terms here are SYNTHETIC
+# placeholders — a real deployment swaps in its moderation list, the
+# mechanism (ordered JVM-native regexp_replace, byte-deterministic vs
+# the serial labeler) is what's under test.
 TOX_TERMS = ("crudword", "vulgword", "slurx")
+
+
+def _ci(term: str) -> str:
+    """ASCII case-insensitive pattern by construction: [cC][rR]... —
+    identical semantics in Java and Python, no (?i)."""
+    return "".join(
+        f"[{c}{c.upper()}]" if c.isalpha() else c for c in term
+    )
+
+
 SCRUB_CHAIN = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b0\d{4}[ ]?\d{3}[ ]?\d{3}\b", "<PHONE>"),
     (r"\b[A-Z]{1,2}[0-9][A-Z0-9]? ?[0-9][A-Z]{2}\b", "<POSTCODE>"),
     (r"\b\d{10}\b", "<ID>"),
-    (r"(?i)\b(?:" + "|".join(TOX_TERMS) + r")\b", "<TOX>"),
+    (r"\b(?:" + "|".join(_ci(t) for t in TOX_TERMS) + r")\b", "<TOX>"),
 )
 
 # --- tokenization -------------------------------------------------------------

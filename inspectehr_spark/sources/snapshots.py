@@ -318,9 +318,18 @@ def commit_transaction(
             dirs = list(m.get("dirs", []))  # carry single-table content too
             for k, prior in m.get("tables", {}).items():
                 tbls[k] = prior + tbls.get(k, [])
-            prior_dates = m.get("extra", {}).get("dates", [])
+            # extra: start from the WHOLE prior payload and overlay the new
+            # keys — dropping unmentioned keys (e.g. the streaming sink's
+            # batch_id) would silently disable downstream guards that read
+            # them; "dates" gets set-union semantics (the resume record).
+            prior_extra = m.get("extra", {})
+            merged = {**prior_extra, **ex}
+            prior_dates = prior_extra.get("dates", [])
             if prior_dates or ex.get("dates"):
-                ex["dates"] = sorted(set(prior_dates) | set(ex.get("dates", [])))
+                merged["dates"] = sorted(
+                    set(prior_dates) | set(ex.get("dates", []))
+                )
+            ex = merged
         raw = _raw_versions(root)
         nxt = max(cur or 0, raw[-1] if raw else 0) + 1
         manifest = {

@@ -143,23 +143,46 @@ def stream_sessionize(
     )
 
 
+def _ingest_id(checkpoint_dir: str) -> str:
+    """Identity of a batch-numbering sequence = the CHECKPOINT, which is
+    what makes Spark's batch ids monotone. Restarting from the same
+    checkpoint keeps the id (replays are recognized); a fresh checkpoint
+    gets a new id, so its batch 0 is new data, not a 'replay' —
+    Iceberg's sink makes the same distinction with the stable streaming
+    query id it stores per checkpoint."""
+    import hashlib
+    import os
+
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:16]
+
+
+def _replayed(extra: dict, ingest_id: str, batch_id: int) -> bool:
+    return (
+        extra.get("ingest_id") == ingest_id
+        and extra.get("batch_id") is not None
+        and batch_id <= extra["batch_id"]
+    )
+
+
 def _commit_stream_batch(
     batch_df: DataFrame,
     batch_id: int,
     root: str,
     partition_col: str | None = None,
+    ingest_id: str = "default",
 ) -> bool:
     """Commit one micro-batch as a snapshot version; returns False when
     skipped. EXACTLY-ONCE under replay: the latest manifest's
-    `extra.batch_id` records the last committed batch, so a batch
-    replayed after a crash between our commit and Spark's checkpoint
-    commit-log write is recognized and skipped instead of re-appended
-    (the same idempotent-commit handshake Iceberg's streaming sink does
-    with its snapshot summary's batch id)."""
+    `extra` records (ingest_id, batch_id) of the last committed batch,
+    so a batch replayed after a crash between our commit and Spark's
+    checkpoint commit-log write is recognized and skipped — while a NEW
+    ingest (fresh checkpoint → new ingest_id → batch ids restart at 0)
+    commits normally instead of being silently discarded."""
     from inspectehr_spark.sources import snapshots as snap
 
-    last = snap.latest_extra(root).get("batch_id")
-    if last is not None and batch_id <= last:
+    if _replayed(snap.latest_extra(root), ingest_id, batch_id):
         return False                      # already committed; crash replay
     if not batch_df.take(1):
         return False
@@ -168,7 +191,8 @@ def _commit_stream_batch(
         partition_col=partition_col,
     )
     snap.commit_transaction(
-        root, {"stream": [rel]}, extra={"batch_id": batch_id},
+        root, {"stream": [rel]},
+        extra={"batch_id": batch_id, "ingest_id": ingest_id},
         keep_prior=True,
     )
     return True
@@ -191,9 +215,12 @@ def snapshot_sink(
     commit-log write.
 
     Returns the started StreamingQuery (caller awaits/stops)."""
+    iid = _ingest_id(checkpoint_dir)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _commit_stream_batch(batch_df, batch_id, root, partition_col)
+        _commit_stream_batch(
+            batch_df, batch_id, root, partition_col, ingest_id=iid
+        )
 
     writer = stream.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -210,6 +237,7 @@ def _dedup_commit_batch(
     text_col: str,
     id_col: str,
     partition_col: str | None = None,
+    ingest_id: str = "default",
 ) -> int:
     """Commit one micro-batch with corpus-history dedup; returns the
     number of surviving rows (0 when skipped/empty).
@@ -229,8 +257,7 @@ def _dedup_commit_batch(
 
     from inspectehr_spark.sources import snapshots as snap
 
-    last = snap.latest_extra(root).get("batch_id")
-    if last is not None and batch_id <= last:
+    if _replayed(snap.latest_extra(root), ingest_id, batch_id):
         return 0                              # crash replay — already committed
     hashed = batch_df.withColumn("_h1", F.xxhash64(text_col)).withColumn(
         "_h2", F.xxhash64(F.lit(1), text_col)
@@ -243,28 +270,37 @@ def _dedup_commit_batch(
     except FileNotFoundError:
         pass                                  # first batch: empty history
     w = Window.partitionBy("_h1", "_h2").orderBy(id_col)
+    # PERSIST before fan-out: the survivors feed FOUR consumers (emptiness
+    # probe, the 'stream' write, the 'hashes' write, the returned count).
+    # Unpersisted, each would re-run the history anti-join — and the two
+    # writes would be independent evaluations that could disagree on a
+    # row_number tie, violating the index==data invariant.
     fresh = (
         hashed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .persist()
     )
-    if not fresh.take(1):
-        return 0
-    hint = (snap.latest_version(root) or 0) + 1
-    rel_rows = snap.write_table_data(
-        fresh.drop("_h1", "_h2"), root, "stream", hint,
-        partition_col=partition_col,
-    )
-    rel_hash = snap.write_table_data(
-        fresh.select("_h1", "_h2"), root, "hashes", hint
-    )
-    snap.commit_transaction(
-        root,
-        {"stream": [rel_rows], "hashes": [rel_hash]},
-        extra={"batch_id": batch_id},
-        keep_prior=True,
-    )
-    return fresh.count()
+    try:
+        if not fresh.take(1):
+            return 0
+        hint = (snap.latest_version(root) or 0) + 1
+        rel_rows = snap.write_table_data(
+            fresh.drop("_h1", "_h2"), root, "stream", hint,
+            partition_col=partition_col,
+        )
+        rel_hash = snap.write_table_data(
+            fresh.select("_h1", "_h2"), root, "hashes", hint
+        )
+        snap.commit_transaction(
+            root,
+            {"stream": [rel_rows], "hashes": [rel_hash]},
+            extra={"batch_id": batch_id, "ingest_id": ingest_id},
+            keep_prior=True,
+        )
+        return fresh.count()              # reads the cache, no recompute
+    finally:
+        fresh.unpersist()
 
 
 def dedup_snapshot_sink(
@@ -281,11 +317,14 @@ def dedup_snapshot_sink(
     against a compacted snapshot, not stream state") implemented — the
     snapshot store IS the compacted index, each micro-batch anti-joins
     it and atomically appends both survivors and their hash pairs.
-    Replay-safe via the committed batch_id. Returns the started query."""
+    Replay-safe via the committed (ingest_id, batch_id). Returns the
+    started query."""
+    iid = _ingest_id(checkpoint_dir)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         _dedup_commit_batch(
-            batch_df, batch_id, root, text_col, id_col, partition_col
+            batch_df, batch_id, root, text_col, id_col, partition_col,
+            ingest_id=iid,
         )
 
     writer = stream.writeStream.foreachBatch(commit_batch).option(

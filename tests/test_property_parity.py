@@ -191,3 +191,28 @@ def test_asof_nearest_vs_python_reference(spark, lrows, rrows, tol):
         else:
             expect = None
         assert got[i] == expect, (i, k, v, b, f, got[i], expect)
+
+
+def test_scrub_non_ascii_adversarial_parity(spark):
+    """Engine regex-parity on NON-ASCII adversarial input: Unicode chars
+    abutting PII/toxicity patterns (\\b is Unicode-aware in BOTH engines'
+    defaults), Unicode case variants the (?i)-free [cC]-class toxicity
+    pattern must NOT fold (ſ, ﬆ), and mixed-case terms it must match."""
+    pieces = [
+        "écrudword", "crudwordé", "ſlurx", "SLURXé", "crudword",
+        "ïvulgword", "vulgwordï", "é1234567890", "1234567890é",
+        "éSW1A 1AA", "01632 960 983é", "CrUdWoRd", "VULGWORD.", "slurx,",
+        "ﬆslurx", "émail@ex.org", "mail@ex.orgé",
+    ]
+    import itertools
+
+    texts = [" ".join(p) for p in itertools.combinations(pieces, 2)]
+    df = _batch(spark, texts)
+    got = {r["i"]: r["s"] for r in df.select("i", scrub_text("text").alias("s")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i].encode() == reference.scrub_serial(t).encode(), repr(t)
+    # sanity on the intended semantics
+    one = {r["i"]: r["s"] for r in _batch(spark, ["CrUdWoRd x", "ſlurx y"]).select(
+        "i", scrub_text("text").alias("s")).collect()}
+    assert one[0] == "<TOX> x"          # ASCII case-insensitive
+    assert one[1] == "ſlurx y"          # no Unicode folding
