@@ -393,3 +393,71 @@ def _read_dirs(spark: SparkSession, root: str, dirs: list[str]) -> DataFrame:
 
     frames = [spark.read.parquet(os.path.join(root, d)) for d in dirs]
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    table: str | None = None,
+    partition_col: str | None = None,
+) -> int:
+    """Rewrite a table's accumulated data directories into ONE — the
+    Iceberg rewrite-data-files analog. A streaming sink commits one data
+    dir per micro-batch, so after B batches every read unions B scans;
+    compaction reads the LATEST snapshot, writes it as a single
+    directory, and commits a new version whose dir list is just that
+    directory. History is untouched (old versions still time-travel to
+    the un-compacted dirs; `vacuum` reclaims them only when no manifest
+    references them, which compaction deliberately preserves), and for
+    multi-table roots the OTHER tables and the `extra` payload (resume
+    dates, streaming batch ids) carry through unchanged.
+
+    Returns the new version. Concurrency note: compaction loses the
+    optimistic race like any commit — a concurrent append lands first
+    and the retry folds it in, because the data is re-read per attempt
+    only at the DataFrame plan level (the read is lazy until the write);
+    for strict isolation run compaction in the ingest pause, as Iceberg
+    recommends for its equivalent."""
+    v = latest_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshots at {root}")
+    if table is None:
+        df = read_snapshot(spark, root, version=v)
+        rel = _write_data(df, root, v + 1, partition_col)
+        return _commit(
+            root, f"compact(v{v})", [rel], keep_prior=False,
+            tables=_read_manifest(root, v).get("tables"),
+            extra=_read_manifest(root, v).get("extra"),
+        )
+    df = read_table(spark, root, table, version=v)
+    rel = write_table_data(df, root, table, v + 1, partition_col)
+    m = _read_manifest(root, v)
+    tbls = {k: list(d) for k, d in m.get("tables", {}).items()}
+    tbls[table] = [rel]
+    for _ in range(10):
+        cur = latest_version(root)
+        if cur != v:
+            # a concurrent commit landed; fold its OTHER tables in but
+            # keep our compacted dir for `table` only if no new dirs were
+            # added to it meanwhile (otherwise give up — data changed)
+            m2 = _read_manifest(root, cur)
+            if m2.get("tables", {}).get(table) != m.get("tables", {}).get(table):
+                raise CommitConflict(
+                    f"table {table!r} changed during compaction at {root}"
+                )
+            tbls = {k: list(d) for k, d in m2.get("tables", {}).items()}
+            tbls[table] = [rel]
+            m = m2
+            v = cur
+        raw = _raw_versions(root)
+        nxt = max(v, raw[-1] if raw else 0) + 1
+        manifest = {
+            "operation": f"compact({table},v{v})",
+            "committed_at": time.time(),
+            "dirs": list(m.get("dirs", [])),
+            "tables": tbls,
+            "extra": m.get("extra", {}),
+        }
+        if _try_commit(root, manifest, nxt):
+            return nxt
+    raise CommitConflict(f"lost 10 compaction commit races at {root}")

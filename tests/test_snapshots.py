@@ -209,3 +209,37 @@ def test_concurrent_appends_all_serialize(spark, tmp_path):
     assert vs == [1, 2, 3, 4, 5]              # every commit got its own version
     expect = sorted(x for k in range(5) for x in (k * 10, k * 10 + 1, k * 10 + 2))
     assert _ids(snap.read_snapshot(spark, root)) == expect
+
+
+def test_compact_single_table(spark, tmp_path):
+    """Compaction rewrites N accumulated dirs into one; content identical,
+    history preserved (old versions still time-travel), extra carried."""
+    root = str(tmp_path / "tbl")
+    for k in range(3):
+        snap.append(_df(spark, k * 5, k * 5 + 3), root)
+    before = _ids(snap.read_snapshot(spark, root))
+    v = snap.compact(spark, root)
+    assert v == 4
+    assert _ids(snap.read_snapshot(spark, root)) == before
+    assert len(snap._read_manifest(root, v)["dirs"]) == 1
+    # pre-compaction versions still read
+    assert _ids(snap.read_snapshot(spark, root, version=2)) == [0, 1, 2, 5, 6, 7]
+
+
+def test_compact_streaming_table_preserves_guard(spark, tmp_path):
+    """Compacting the dedup sink's 'stream' table collapses its dirs,
+    keeps the other tables and the (ingest_id, batch_id) guard intact —
+    a replay after compaction is still recognized."""
+    from inspectehr_spark.streaming.quality_stream import _commit_stream_batch
+
+    root = str(tmp_path / "tbl")
+    b = spark.createDataFrame([(1, "x"), (2, "y")], "id long, text string")
+    assert _commit_stream_batch(b, 0, root, ingest_id="ck")
+    assert _commit_stream_batch(b.selectExpr("id + 10 AS id", "text || 'z' AS text"), 1, root, ingest_id="ck")
+    n = snap.read_table(spark, root, "stream").count()
+    v = snap.compact(spark, root, table="stream")
+    m = snap._read_manifest(root, v)
+    assert len(m["tables"]["stream"]) == 1
+    assert snap.read_table(spark, root, "stream").count() == n
+    assert snap.latest_extra(root).get("batch_id") == 1       # guard survives
+    assert _commit_stream_batch(b, 1, root, ingest_id="ck") is False  # replay

@@ -224,3 +224,19 @@ def test_dedup_snapshot_sink_drops_corpus_history_dups(spark, tmp_path_factory):
     # replay of batch 1 is a no-op
     assert _dedup_commit_batch(b1, 1, root, "text", "url") == 0
     assert snap.read_table(spark, root, "stream").count() == 3
+
+
+def test_new_ingest_identity_is_not_a_replay(spark, stream_dir, tmp_path_factory):
+    """A FRESH checkpoint restarts batch numbering at 0 — with a new
+    ingest_id those batches are new data and must commit, not be
+    discarded as 'replays' of the old sequence."""
+    from inspectehr_spark.sources import snapshots as snap
+    from inspectehr_spark.streaming.quality_stream import _commit_stream_batch
+
+    _path, batch_df = stream_dir
+    root = str(tmp_path_factory.mktemp("snap_iid") / "tbl")
+    assert _commit_stream_batch(batch_df.limit(4), 0, root, ingest_id="ckptA")
+    assert _commit_stream_batch(batch_df.limit(4), 0, root, ingest_id="ckptA") is False
+    # new checkpoint identity, same batch id 0 → genuinely new data
+    assert _commit_stream_batch(batch_df.limit(3), 0, root, ingest_id="ckptB")
+    assert snap.read_table(spark, root, "stream").count() == 7
