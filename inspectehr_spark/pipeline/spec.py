@@ -135,10 +135,21 @@ TOX_TERMS = ("crudword", "vulgword", "slurx")
 
 def _ci(term: str) -> str:
     """ASCII case-insensitive pattern by construction: [cC][rR]... —
-    identical semantics in Java and Python, no (?i)."""
-    return "".join(
-        f"[{c}{c.upper()}]" if c.isalpha() else c for c in term
-    )
+    identical semantics in Java and Python, no (?i). Robust to real
+    moderation lists: mixed-case input normalizes ([sS] from either 'S'
+    or 's'), non-ASCII or case-unstable letters (ß→SS) and regex
+    metacharacters are escaped literally instead of corrupting the
+    class."""
+    import re as _re
+
+    out = []
+    for c in term:
+        lo, up = c.lower(), c.upper()
+        if c.isalpha() and c.isascii() and len(lo) == 1 and len(up) == 1:
+            out.append(f"[{lo}{up}]")
+        else:
+            out.append(_re.escape(c))
+    return "".join(out)
 
 
 SCRUB_CHAIN = (

@@ -319,9 +319,11 @@ def commit_transaction(
             for k, prior in m.get("tables", {}).items():
                 tbls[k] = prior + tbls.get(k, [])
             # extra: start from the WHOLE prior payload and overlay the new
-            # keys — dropping unmentioned keys (e.g. the streaming sink's
-            # batch_id) would silently disable downstream guards that read
-            # them; "dates" gets set-union semantics (the resume record).
+            # keys — dropping unmentioned keys (e.g. the streaming sinks'
+            # replay records) would silently disable downstream guards that
+            # read them. "dates" gets set-union semantics (the resume
+            # record) and "batch_ids" per-key dict-merge (one sink's commit
+            # must not erase another ingest's replay record).
             prior_extra = m.get("extra", {})
             merged = {**prior_extra, **ex}
             prior_dates = prior_extra.get("dates", [])
@@ -329,6 +331,11 @@ def commit_transaction(
                 merged["dates"] = sorted(
                     set(prior_dates) | set(ex.get("dates", []))
                 )
+            if prior_extra.get("batch_ids") or ex.get("batch_ids"):
+                merged["batch_ids"] = {
+                    **prior_extra.get("batch_ids", {}),
+                    **ex.get("batch_ids", {}),
+                }
             ex = merged
         raw = _raw_versions(root)
         nxt = max(cur or 0, raw[-1] if raw else 0) + 1
@@ -400,6 +407,7 @@ def compact(
     root: str,
     table: str | None = None,
     partition_col: str | None = None,
+    max_retries: int = 10,
 ) -> int:
     """Rewrite a table's accumulated data directories into ONE — the
     Iceberg rewrite-data-files analog. A streaming sink commits one data
@@ -412,52 +420,56 @@ def compact(
     multi-table roots the OTHER tables and the `extra` payload (resume
     dates, streaming batch ids) carry through unchanged.
 
-    Returns the new version. Concurrency note: compaction loses the
-    optimistic race like any commit — a concurrent append lands first
-    and the retry folds it in, because the data is re-read per attempt
-    only at the DataFrame plan level (the read is lazy until the write);
-    for strict isolation run compaction in the ingest pause, as Iceberg
-    recommends for its equivalent."""
+    CONFLICT SAFETY (both paths): the compacted directory is a rewrite
+    of version v's content — if ANY commit lands after v, publishing it
+    would silently drop that commit's data, so compaction re-checks the
+    latest version each attempt and raises CommitConflict when the
+    compacted content changed underneath it (concurrent commits that
+    touched only OTHER tables of a transaction root are folded through).
+    Run compaction in the ingest pause for strict isolation, as Iceberg
+    recommends for its equivalent. Returns the new version."""
     v = latest_version(root)
     if v is None:
         raise FileNotFoundError(f"no committed snapshots at {root}")
+    m = _read_manifest(root, v)
     if table is None:
         df = read_snapshot(spark, root, version=v)
         rel = _write_data(df, root, v + 1, partition_col)
-        return _commit(
-            root, f"compact(v{v})", [rel], keep_prior=False,
-            tables=_read_manifest(root, v).get("tables"),
-            extra=_read_manifest(root, v).get("extra"),
-        )
-    df = read_table(spark, root, table, version=v)
-    rel = write_table_data(df, root, table, v + 1, partition_col)
-    m = _read_manifest(root, v)
-    tbls = {k: list(d) for k, d in m.get("tables", {}).items()}
-    tbls[table] = [rel]
-    for _ in range(10):
+        compacted_key, compacted_val = "dirs", m.get("dirs", [])
+    else:
+        df = read_table(spark, root, table, version=v)
+        rel = write_table_data(df, root, table, v + 1, partition_col)
+        compacted_key, compacted_val = table, m.get("tables", {}).get(table)
+
+    for _ in range(max_retries):
         cur = latest_version(root)
         if cur != v:
-            # a concurrent commit landed; fold its OTHER tables in but
-            # keep our compacted dir for `table` only if no new dirs were
-            # added to it meanwhile (otherwise give up — data changed)
             m2 = _read_manifest(root, cur)
-            if m2.get("tables", {}).get(table) != m.get("tables", {}).get(table):
+            now_val = (
+                m2.get("dirs", [])
+                if table is None
+                else m2.get("tables", {}).get(table)
+            )
+            if now_val != compacted_val:
                 raise CommitConflict(
-                    f"table {table!r} changed during compaction at {root}"
+                    f"{compacted_key!r} changed during compaction at {root}"
                 )
-            tbls = {k: list(d) for k, d in m2.get("tables", {}).items()}
+            m, v = m2, cur      # only other tables/extra changed: fold in
+        tbls = {k: list(d) for k, d in m.get("tables", {}).items()}
+        dirs = list(m.get("dirs", []))
+        if table is None:
+            dirs = [rel]
+        else:
             tbls[table] = [rel]
-            m = m2
-            v = cur
         raw = _raw_versions(root)
         nxt = max(v, raw[-1] if raw else 0) + 1
         manifest = {
-            "operation": f"compact({table},v{v})",
+            "operation": f"compact({table or 'dirs'},v{v})",
             "committed_at": time.time(),
-            "dirs": list(m.get("dirs", [])),
+            "dirs": dirs,
             "tables": tbls,
             "extra": m.get("extra", {}),
         }
         if _try_commit(root, manifest, nxt):
             return nxt
-    raise CommitConflict(f"lost 10 compaction commit races at {root}")
+    raise CommitConflict(f"lost {max_retries} compaction commit races at {root}")

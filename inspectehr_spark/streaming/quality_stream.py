@@ -144,25 +144,46 @@ def stream_sessionize(
 
 
 def _ingest_id(checkpoint_dir: str) -> str:
-    """Identity of a batch-numbering sequence = the CHECKPOINT, which is
-    what makes Spark's batch ids monotone. Restarting from the same
-    checkpoint keeps the id (replays are recognized); a fresh checkpoint
-    gets a new id, so its batch 0 is new data, not a 'replay' —
-    Iceberg's sink makes the same distinction with the stable streaming
-    query id it stores per checkpoint."""
-    import hashlib
+    """Identity of a batch-numbering sequence = the CHECKPOINT CONTENTS,
+    not its path: a marker file inside the checkpoint carries a uuid, so
+    resuming the same checkpoint keeps the id (replays recognized) while
+    wiping-and-recreating the directory at the SAME path — the standard
+    'force reprocess' move, which restarts batch ids at 0 — generates a
+    fresh id and its batches commit as new data. This mirrors Iceberg's
+    use of the query id STORED IN the checkpoint. O_EXCL arbitration
+    makes concurrent first-writers agree on one id."""
     import os
+    import uuid as _uuid
 
-    return hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:16]
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, ".snapshot_sink_id")
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(_uuid.uuid4().hex[:16])
+    except FileExistsError:
+        pass
+    with open(marker) as f:
+        return f.read().strip()
 
 
 def _replayed(extra: dict, ingest_id: str, batch_id: int) -> bool:
-    return (
-        extra.get("ingest_id") == ingest_id
-        and extra.get("batch_id") is not None
-        and batch_id <= extra["batch_id"]
+    """True iff this (ingest_id, batch_id) already committed. The guard
+    is a PER-INGEST map (extra['batch_ids']) so two sinks sharing one
+    root can't erase each other's replay records; legacy manifests with
+    only a flat batch_id (pre-map commits) fall back to the old
+    batch-id-only comparison — recognizing their replays is preferred
+    over double-appending them."""
+    per = extra.get("batch_ids")
+    if per is not None:
+        last = per.get(ingest_id)
+        return last is not None and batch_id <= last
+    legacy = extra.get("batch_id")
+    legacy_ingest = extra.get("ingest_id")
+    if legacy is None:
+        return False
+    return (legacy_ingest is None or legacy_ingest == ingest_id) and (
+        batch_id <= legacy
     )
 
 
@@ -192,7 +213,7 @@ def _commit_stream_batch(
     )
     snap.commit_transaction(
         root, {"stream": [rel]},
-        extra={"batch_id": batch_id, "ingest_id": ingest_id},
+        extra={"batch_ids": {ingest_id: batch_id}},
         keep_prior=True,
     )
     return True
@@ -295,7 +316,7 @@ def _dedup_commit_batch(
         snap.commit_transaction(
             root,
             {"stream": [rel_rows], "hashes": [rel_hash]},
-            extra={"batch_id": batch_id, "ingest_id": ingest_id},
+            extra={"batch_ids": {ingest_id: batch_id}},
             keep_prior=True,
         )
         return fresh.count()              # reads the cache, no recompute

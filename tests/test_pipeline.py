@@ -332,3 +332,19 @@ def test_null_warc_ts_resumes_cleanly(spark, tmp_path_factory):
     assert {str(r["p_date"]) for r in dec.select("p_date").distinct().collect()} == {
         "2025-03-01", "__no_date__"
     }
+
+
+def test_ci_pattern_robust_terms():
+    """_ci handles real-moderation-list shapes: mixed case normalizes,
+    metacharacters and case-unstable letters escape literally."""
+    import re
+
+    from inspectehr_spark.pipeline.spec import _ci
+
+    pat = re.compile(r"\b(?:" + _ci("Slur-X") + r")\b")
+    assert pat.search("a slur-x b")
+    assert pat.search("a SLUR-X b")
+    p2 = re.compile(_ci("a+b"))
+    assert p2.search("xA+By")
+    assert not p2.search("aab")            # '+' is literal, not a quantifier
+    re.compile(_ci("straße"))              # ß escapes, pattern stays valid

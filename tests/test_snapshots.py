@@ -241,5 +241,5 @@ def test_compact_streaming_table_preserves_guard(spark, tmp_path):
     m = snap._read_manifest(root, v)
     assert len(m["tables"]["stream"]) == 1
     assert snap.read_table(spark, root, "stream").count() == n
-    assert snap.latest_extra(root).get("batch_id") == 1       # guard survives
+    assert snap.latest_extra(root).get("batch_ids") == {"ck": 1}  # guard survives
     assert _commit_stream_batch(b, 1, root, ingest_id="ck") is False  # replay

@@ -240,3 +240,35 @@ def test_new_ingest_identity_is_not_a_replay(spark, stream_dir, tmp_path_factory
     # new checkpoint identity, same batch id 0 → genuinely new data
     assert _commit_stream_batch(batch_df.limit(3), 0, root, ingest_id="ckptB")
     assert snap.read_table(spark, root, "stream").count() == 7
+
+
+def test_wiped_checkpoint_gets_new_identity(tmp_path):
+    """_ingest_id is checkpoint-CONTENT identity: same dir resumed → same
+    id; directory wiped and recreated at the same path (force-reprocess)
+    → NEW id, so restarted batch 0 commits instead of reading as a
+    replay of the old sequence."""
+    import shutil
+
+    from inspectehr_spark.streaming.quality_stream import _ingest_id
+
+    ckpt = str(tmp_path / "ckpt")
+    a1 = _ingest_id(ckpt)
+    assert _ingest_id(ckpt) == a1          # stable across restarts
+    shutil.rmtree(ckpt)
+    a2 = _ingest_id(ckpt)
+    assert a2 != a1                        # wipe = new identity
+
+
+def test_two_ingests_keep_independent_replay_records(spark, tmp_path_factory):
+    """The replay guard is a per-ingest map: ingest B committing must not
+    erase ingest A's record — A's crash replay is still recognized."""
+    from inspectehr_spark.sources import snapshots as snap
+    from inspectehr_spark.streaming.quality_stream import _commit_stream_batch
+
+    root = str(tmp_path_factory.mktemp("multi_ingest") / "tbl")
+    b = spark.createDataFrame([(1, "x")], "id long, text string")
+    assert _commit_stream_batch(b, 5, root, ingest_id="A")
+    assert _commit_stream_batch(b, 0, root, ingest_id="B")
+    assert snap.latest_extra(root)["batch_ids"] == {"A": 5, "B": 0}
+    assert _commit_stream_batch(b, 5, root, ingest_id="A") is False  # A replay
+    assert _commit_stream_batch(b, 1, root, ingest_id="B")           # B advances
