@@ -100,7 +100,12 @@ def pack_sequences(
     bins are contiguous ranges of the order, so a bin's docs co-locate
     for the downstream concat. A doc longer than `target_tokens` gets a
     bin of its own (the standard overflow rule of contiguous packing —
-    no doc is split)."""
+    no doc is split).
+
+    CONTRACT: `order_col` must be a TOTAL order within each group (a
+    unique id). With ties, the window's cumulative sum order — and
+    therefore the bin assignment of tied rows — is engine- and
+    run-dependent."""
     w = (
         Window.partitionBy(group_col)
         .orderBy(order_col)
