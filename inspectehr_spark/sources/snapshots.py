@@ -197,6 +197,38 @@ def _try_commit(root: str, manifest: dict, version: int) -> bool:
         os.unlink(tmp)
 
 
+
+def _publish(root: str, cur: int | None, manifest: dict) -> int | None:
+    """One commit attempt against observed latest version `cur`; returns
+    the committed version or None (caller re-reads latest and retries).
+
+    Slot allocation skips only UNPARSABLE squatters above cur (crashed
+    pre-link writers); a PARSABLE newer manifest is a concurrent commit
+    whose content must be folded in — returning None forces that. The
+    squat-skip opens a TOCTOU window (a concurrent commit can land in a
+    skipped slot between the listing and our link), so after a
+    successful link we POST-VERIFY that no parsable manifest appeared
+    in (cur, nxt); if one did, our manifest is unlinked (nothing can
+    have built on it — it was the latest for only that instant) and the
+    attempt retries. In the common no-squat case nxt == cur+1, the
+    range is empty and link-exclusivity alone arbitrates."""
+    base = cur or 0
+    d = _manifest_dir(root)
+    nxt = base + 1
+    for v in _raw_versions(root):
+        if v > base:
+            if _parsable(os.path.join(d, f"v{v}.json")):
+                return None            # concurrent commit landed
+            nxt = max(nxt, v + 1)
+    if not _try_commit(root, manifest, nxt):
+        return None
+    for v in range(base + 1, nxt):
+        if _parsable(os.path.join(d, f"v{v}.json")):
+            os.unlink(os.path.join(d, f"v{nxt}.json"))
+            return None
+    return nxt
+
+
 def _commit(root: str, operation: str, new_dirs: list[str], keep_prior: bool,
             max_retries: int = 10, tables: dict | None = None,
             extra: dict | None = None) -> int:
@@ -215,8 +247,6 @@ def _commit(root: str, operation: str, new_dirs: list[str], keep_prior: bool,
                 mtables = prior["tables"]
             if mextra is None and prior.get("extra"):
                 mextra = prior["extra"]
-        raw = _raw_versions(root)
-        nxt = max(cur or 0, raw[-1] if raw else 0) + 1
         manifest = {
             "operation": operation,
             "committed_at": time.time(),
@@ -226,8 +256,9 @@ def _commit(root: str, operation: str, new_dirs: list[str], keep_prior: bool,
             manifest["tables"] = mtables
         if mextra is not None:
             manifest["extra"] = mextra
-        if _try_commit(root, manifest, nxt):
-            return nxt
+        got = _publish(root, cur, manifest)
+        if got is not None:
+            return got
     raise CommitConflict(f"lost {max_retries} commit races at {root}")
 
 
@@ -337,8 +368,6 @@ def commit_transaction(
                     **ex.get("batch_ids", {}),
                 }
             ex = merged
-        raw = _raw_versions(root)
-        nxt = max(cur or 0, raw[-1] if raw else 0) + 1
         manifest = {
             "operation": "txn",
             "committed_at": time.time(),
@@ -346,8 +375,9 @@ def commit_transaction(
             "extra": ex,
             "dirs": dirs,
         }
-        if _try_commit(root, manifest, nxt):
-            return nxt
+        got = _publish(root, cur, manifest)
+        if got is not None:
+            return got
     raise CommitConflict(f"lost {max_retries} commit races at {root}")
 
 
@@ -461,8 +491,6 @@ def compact(
             dirs = [rel]
         else:
             tbls[table] = [rel]
-        raw = _raw_versions(root)
-        nxt = max(v, raw[-1] if raw else 0) + 1
         manifest = {
             "operation": f"compact({table or 'dirs'},v{v})",
             "committed_at": time.time(),
@@ -470,6 +498,7 @@ def compact(
             "tables": tbls,
             "extra": m.get("extra", {}),
         }
-        if _try_commit(root, manifest, nxt):
-            return nxt
+        got = _publish(root, v, manifest)
+        if got is not None:
+            return got
     raise CommitConflict(f"lost {max_retries} compaction commit races at {root}")

@@ -150,41 +150,52 @@ def _ingest_id(checkpoint_dir: str) -> str:
     wiping-and-recreating the directory at the SAME path — the standard
     'force reprocess' move, which restarts batch ids at 0 — generates a
     fresh id and its batches commit as new data. This mirrors Iceberg's
-    use of the query id STORED IN the checkpoint. O_EXCL arbitration
-    makes concurrent first-writers agree on one id."""
+    use of the query id STORED IN the checkpoint.
+
+    The marker publishes via write-tmp+link (the snapshot manifest
+    protocol): a visible marker is always complete, never the empty
+    file an O_EXCL-then-write crash window could leave, and concurrent
+    first-writers arbitrate through link-exclusivity. Non-local
+    checkpoint URIs (hdfs://, s3a://) fall back to a path-derived id —
+    stable across driver machines, but a remote checkpoint wipe then
+    needs a manual new id; documented limitation of the file-based
+    stand-in (a real deployment stores the id in the catalog)."""
+    import hashlib
     import os
     import uuid as _uuid
 
+    if "://" in checkpoint_dir:
+        return "path-" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker = os.path.join(checkpoint_dir, ".snapshot_sink_id")
-    try:
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
+    if not os.path.exists(marker):
+        tmp = os.path.join(checkpoint_dir, f".sink_id_tmp-{_uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
             f.write(_uuid.uuid4().hex[:16])
-    except FileExistsError:
-        pass
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            pass                       # concurrent first-writer won
+        finally:
+            os.unlink(tmp)
     with open(marker) as f:
-        return f.read().strip()
+        ident = f.read().strip()
+    if not ident:
+        raise RuntimeError(f"empty ingest marker at {marker}")
+    return ident
 
 
 def _replayed(extra: dict, ingest_id: str, batch_id: int) -> bool:
     """True iff this (ingest_id, batch_id) already committed. The guard
     is a PER-INGEST map (extra['batch_ids']) so two sinks sharing one
-    root can't erase each other's replay records; legacy manifests with
-    only a flat batch_id (pre-map commits) fall back to the old
-    batch-id-only comparison — recognizing their replays is preferred
-    over double-appending them."""
-    per = extra.get("batch_ids")
-    if per is not None:
-        last = per.get(ingest_id)
-        return last is not None and batch_id <= last
-    legacy = extra.get("batch_id")
-    legacy_ingest = extra.get("ingest_id")
-    if legacy is None:
-        return False
-    return (legacy_ingest is None or legacy_ingest == ingest_id) and (
-        batch_id <= legacy
-    )
+    root can't erase each other's replay records. This is the single
+    authoritative scheme — a table written by a pre-map build would need
+    its flat batch_id folded into the map once (no such tables exist;
+    the flat keys never shipped)."""
+    last = extra.get("batch_ids", {}).get(ingest_id)
+    return last is not None and batch_id <= last
 
 
 def _commit_stream_batch(

@@ -243,3 +243,27 @@ def test_compact_streaming_table_preserves_guard(spark, tmp_path):
     assert snap.read_table(spark, root, "stream").count() == n
     assert snap.latest_extra(root).get("batch_ids") == {"ck": 1}  # guard survives
     assert _commit_stream_batch(b, 1, root, ingest_id="ck") is False  # replay
+
+
+def test_publish_folds_in_concurrent_commit_past_squat(spark, tmp_path):
+    """A parsable manifest above the observed latest is a CONCURRENT
+    COMMIT, not a squatted slot: _publish refuses the attempt and the
+    retry folds that commit's content in — never silently shadowed."""
+    root = str(tmp_path / "tbl")
+    snap.append(_df(spark, 0, 3), root)                       # v1
+    # squatted (unparsable) v2 AND a concurrent parsable v3
+    with open(os.path.join(root, "_manifests", "v2.json"), "w"):
+        pass
+    rel = snap._write_data(_df(spark, 50, 52), root, 3, None)
+    assert snap._try_commit(
+        root,
+        {"operation": "append", "committed_at": 0.0,
+         "dirs": snap._read_manifest(root, 1)["dirs"] + [rel]},
+        3,
+    )
+    # direct probe: an attempt against stale cur=1 must refuse
+    assert snap._publish(root, 1, {"operation": "x", "committed_at": 0.0, "dirs": []}) is None
+    # and the public API retries against the winner: all rows survive
+    v = snap.append(_df(spark, 7, 9), root)
+    assert v == 4
+    assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2, 7, 8, 50, 51]
