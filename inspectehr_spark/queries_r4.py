@@ -158,33 +158,42 @@ def q_decisions_history(spark, sf_dir):
     replace with 900+), then the query reads version 2 — whose content
     (doc_id < 200) must be unaffected by the later replace. The oracle
     states that content declaratively. Scratch snapshots go to a fresh
-    temp dir per call — every version is BOUNDED (≤100 rows at any SF)
-    and stale dirs from prior invocations are best-effort reaped so
-    repeated bench/correctness sweeps don't accumulate /tmp usage."""
+    per-pid temp dir and the grouped result (bounded: sources × langs)
+    is MATERIALIZED before a finally-block rmtree of the query's own
+    dir — returning a lazy plan over the scratch files would force the
+    leak. Crash leftovers are reaped only when the pid embedded in the
+    dir name is dead: an age-based reaper could rmtree a CONCURRENT
+    process's scratch mid-query."""
     import glob
     import shutil
     import tempfile
-    import time as _time
 
     from inspectehr_spark.sources import snapshots as snap
 
     for stale in glob.glob(os.path.join(tempfile.gettempdir(), "snap_tt_*")):
         try:
-            if _time.time() - os.path.getmtime(stale) > 3600:
-                shutil.rmtree(stale, ignore_errors=True)
-        except OSError:
-            pass
-    root = tempfile.mkdtemp(prefix="snap_tt_")
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
-    snap.append(docs.filter(F.col("doc_id") < 100), root)                    # v1
-    snap.append(docs.filter(F.col("doc_id").between(100, 199)), root)        # v2
-    snap.replace(docs.filter(F.col("doc_id").between(900, 999)), root)       # v3
-    tt = snap.read_snapshot(spark, root, version=2)
-    return tt.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.min("doc_id").cast("long").alias("min_doc"),
-        F.max("doc_id").cast("long").alias("max_doc"),
-    )
+            pid = int(os.path.basename(stale).split("_")[2])
+            os.kill(pid, 0)            # raises if the owner is gone
+        except (IndexError, ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except (OSError, PermissionError):
+            pass                       # alive (or not ours to probe): keep
+    root = tempfile.mkdtemp(prefix=f"snap_tt_{os.getpid()}_")
+    try:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+        snap.append(docs.filter(F.col("doc_id") < 100), root)                 # v1
+        snap.append(docs.filter(F.col("doc_id").between(100, 199)), root)     # v2
+        snap.replace(docs.filter(F.col("doc_id").between(900, 999)), root)    # v3
+        tt = snap.read_snapshot(spark, root, version=2)
+        out = tt.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        # Pin the (dimension-sized) result before deleting its source files.
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 SQL_DECISIONS_HISTORY = """

@@ -206,12 +206,18 @@ def _publish(root: str, cur: int | None, manifest: dict) -> int | None:
     pre-link writers); a PARSABLE newer manifest is a concurrent commit
     whose content must be folded in — returning None forces that. The
     squat-skip opens a TOCTOU window (a concurrent commit can land in a
-    skipped slot between the listing and our link), so after a
-    successful link we POST-VERIFY that no parsable manifest appeared
-    in (cur, nxt); if one did, our manifest is unlinked (nothing can
-    have built on it — it was the latest for only that instant) and the
-    attempt retries. In the common no-squat case nxt == cur+1, the
-    range is empty and link-exclusivity alone arbitrates."""
+    skipped slot between the listing and our link), so the skipped range
+    is re-checked IMMEDIATELY before linking, and post-verified after.
+    If the post-verify still finds a concurrent commit in a skipped slot,
+    our manifest STAYS published — a visible manifest is never unlinked:
+    between link and unlink a reader could pick it as latest and crash on
+    the vanished file, and a writer could build v<nxt>+1 on it, after
+    which the unlinker's retry would append its dirs a second time
+    (duplicates) while the skipped-slot commit stayed shadowed. Instead
+    the shadowed commits' additions are folded in by a corrective merge
+    commit on top (append-only history, like Iceberg's). In the common
+    no-squat case nxt == cur+1, the range is empty and link-exclusivity
+    alone arbitrates."""
     base = cur or 0
     d = _manifest_dir(root)
     nxt = base + 1
@@ -220,29 +226,125 @@ def _publish(root: str, cur: int | None, manifest: dict) -> int | None:
             if _parsable(os.path.join(d, f"v{v}.json")):
                 return None            # concurrent commit landed
             nxt = max(nxt, v + 1)
+    if nxt > base + 1:
+        # Squat-skip path: narrow the TOCTOU window with a last-instant
+        # re-check of the skipped range before publishing.
+        for v in range(base + 1, nxt):
+            if _parsable(os.path.join(d, f"v{v}.json")):
+                return None
     if not _try_commit(root, manifest, nxt):
         return None
-    for v in range(base + 1, nxt):
-        if _parsable(os.path.join(d, f"v{v}.json")):
-            os.unlink(os.path.join(d, f"v{nxt}.json"))
-            return None
-    return nxt
+    shadowed = [
+        v for v in range(base + 1, nxt)
+        if _parsable(os.path.join(d, f"v{v}.json"))
+    ]
+    if not shadowed:
+        return nxt
+    return _corrective_merge(root, base, nxt, shadowed)
+
+
+def _merge_extra(prior: dict, new: dict) -> dict:
+    """Overlay `new` onto `prior` with the payload-specific semantics the
+    commit protocol guarantees: scalar keys — newest wins; "dates" — the
+    resume record — set-union; "batch_ids" — the streaming replay guard,
+    monotone per ingest — per-key MAX (for a true prior→new overlay max
+    equals overwrite; in a corrective merge either side may hold the
+    higher id, and taking the lower would wrongly discard later
+    batches as replays)."""
+    merged = {**prior, **new}
+    if prior.get("dates") or new.get("dates"):
+        merged["dates"] = sorted(
+            set(prior.get("dates", [])) | set(new.get("dates", []))
+        )
+    if prior.get("batch_ids") or new.get("batch_ids"):
+        bids = dict(prior.get("batch_ids", {}))
+        for k, v in new.get("batch_ids", {}).items():
+            try:
+                bids[k] = v if k not in bids else max(bids[k], v)
+            except TypeError:
+                bids[k] = v
+        merged["batch_ids"] = bids
+    return merged
+
+
+def _corrective_merge(
+    root: str, base: int, nxt: int, shadowed: list[int], max_retries: int = 10
+) -> int:
+    """A parsable manifest landed in the squat-skipped range AFTER the
+    pre-link re-check: v<nxt> (built on `base`, ignorant of the shadowed
+    commits) is already visible and must never be unlinked. Fold the
+    shadowed commits' ADDITIONS relative to `base` — data dirs, per-table
+    dirs, extra payload — into a merge commit on top of the current
+    latest. Data-dir names are uuid-unique, so presence tests are exact
+    and the fold is idempotent. Returns the merge version."""
+    base_m = _read_manifest(root, base) if base else {}
+    base_dirs = set(base_m.get("dirs", []))
+    base_tbls = {k: set(v) for k, v in base_m.get("tables", {}).items()}
+    add_dirs: list[str] = []
+    add_tbls: dict[str, list[str]] = {}
+    sh_extra: dict = {}
+    for v in shadowed:
+        m = _read_manifest(root, v)
+        for dd in m.get("dirs", []):
+            if dd not in base_dirs and dd not in add_dirs:
+                add_dirs.append(dd)
+        for k, ds in m.get("tables", {}).items():
+            have = base_tbls.get(k, set())
+            acc = add_tbls.setdefault(k, [])
+            for dd in ds:
+                if dd not in have and dd not in acc:
+                    acc.append(dd)
+        if m.get("extra"):
+            sh_extra = _merge_extra(sh_extra, m["extra"])
+    for _ in range(max_retries):
+        cur = latest_version(root)          # ≥ nxt: v<nxt> is parsable
+        m = _read_manifest(root, cur)
+        dirs = list(m.get("dirs", []))
+        dirs += [dd for dd in add_dirs if dd not in set(dirs)]
+        tbls = {k: list(v) for k, v in m.get("tables", {}).items()}
+        for k, ds in add_tbls.items():
+            have = set(tbls.get(k, []))
+            tbls[k] = tbls.get(k, []) + [dd for dd in ds if dd not in have]
+        # Latest's scalar extra wins (the shadowed values derive from
+        # `base`); dates/batch_ids merge with union/max semantics.
+        ex = _merge_extra(sh_extra, m.get("extra", {})) if (
+            sh_extra or m.get("extra")
+        ) else None
+        merged = {
+            "operation": (
+                f"merge(shadowed v{shadowed[0]}..v{shadowed[-1]} into v{nxt})"
+            ),
+            "committed_at": time.time(),
+            "dirs": dirs,
+        }
+        if tbls:
+            merged["tables"] = tbls
+        if ex is not None:
+            merged["extra"] = ex
+        got = _publish(root, cur, merged)
+        if got is not None:
+            return got
+    raise CommitConflict(f"lost {max_retries} corrective-merge races at {root}")
 
 
 def _commit(root: str, operation: str, new_dirs: list[str], keep_prior: bool,
             max_retries: int = 10, tables: dict | None = None,
-            extra: dict | None = None) -> int:
+            extra: dict | None = None, carry_tables: bool = False) -> int:
     for _ in range(max_retries):
         cur = latest_version(root)
         dirs = list(new_dirs)
         mtables, mextra = tables, extra
-        if keep_prior and cur is not None:
+        if (keep_prior or carry_tables) and cur is not None:
             prior = _read_manifest(root, cur)
-            dirs = prior["dirs"] + dirs
-            # Mixed-mode safety: a single-table append on a root whose
+            if keep_prior:
+                dirs = prior["dirs"] + dirs
+            # Mixed-mode safety: a single-table append — or a replace,
+            # which replaces ONLY `dirs` (carry_tables) — on a root whose
             # latest manifest is a multi-table transaction must CARRY the
             # transaction content through, not silently drop it (which
-            # would make every read_table see an 'empty' table).
+            # would make every read_table see an 'empty' table and erase
+            # the streaming replay guard / resume dates in `extra`,
+            # re-arming double-commits on the next crash replay).
             if mtables is None and prior.get("tables"):
                 mtables = prior["tables"]
             if mextra is None and prior.get("extra"):
@@ -279,9 +381,15 @@ def append(df: DataFrame, root: str, partition_col: str | None = None) -> int:
 
 
 def replace(df: DataFrame, root: str, partition_col: str | None = None) -> int:
-    """Atomically replace table contents (drop-and-rewrite, versioned)."""
+    """Atomically replace table contents (drop-and-rewrite, versioned).
+
+    Replaces ONLY the single-table `dirs` content: on a root that also
+    holds multi-table transaction tables and an `extra` payload (resume
+    dates, streaming batch_ids), those carry through unchanged —
+    `append` and `rollback` already guaranteed this; a replace that
+    dropped them would silently erase the replay guard."""
     rel = _write_data(df, root, (latest_version(root) or 0) + 1, partition_col)
-    return _commit(root, "replace", [rel], keep_prior=False)
+    return _commit(root, "replace", [rel], keep_prior=False, carry_tables=True)
 
 
 def rollback(root: str, to_version: int) -> int:
@@ -353,21 +461,9 @@ def commit_transaction(
             # keys — dropping unmentioned keys (e.g. the streaming sinks'
             # replay records) would silently disable downstream guards that
             # read them. "dates" gets set-union semantics (the resume
-            # record) and "batch_ids" per-key dict-merge (one sink's commit
+            # record) and "batch_ids" per-key max-merge (one sink's commit
             # must not erase another ingest's replay record).
-            prior_extra = m.get("extra", {})
-            merged = {**prior_extra, **ex}
-            prior_dates = prior_extra.get("dates", [])
-            if prior_dates or ex.get("dates"):
-                merged["dates"] = sorted(
-                    set(prior_dates) | set(ex.get("dates", []))
-                )
-            if prior_extra.get("batch_ids") or ex.get("batch_ids"):
-                merged["batch_ids"] = {
-                    **prior_extra.get("batch_ids", {}),
-                    **ex.get("batch_ids", {}),
-                }
-            ex = merged
+            ex = _merge_extra(m.get("extra", {}), ex)
         manifest = {
             "operation": "txn",
             "committed_at": time.time(),

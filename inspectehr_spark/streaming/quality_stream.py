@@ -157,14 +157,27 @@ def _ingest_id(checkpoint_dir: str) -> str:
     file an O_EXCL-then-write crash window could leave, and concurrent
     first-writers arbitrate through link-exclusivity. Non-local
     checkpoint URIs (hdfs://, s3a://) fall back to a path-derived id —
-    stable across driver machines, but a remote checkpoint wipe then
-    needs a manual new id; documented limitation of the file-based
-    stand-in (a real deployment stores the id in the catalog)."""
+    stable across driver machines, but wiping and recreating a REMOTE
+    checkpoint at the same path (the standard force-reprocess move)
+    would keep the old identity, and the restarted batches 0..N would
+    be silently discarded as replays. That is silent data loss, so the
+    fallback WARNS loudly and tells the caller to pass an explicit
+    `ingest_id` (a real deployment stores the id in the catalog)."""
     import hashlib
     import os
     import uuid as _uuid
+    import warnings
 
     if "://" in checkpoint_dir:
+        warnings.warn(
+            f"ingest identity for remote checkpoint {checkpoint_dir!r} is "
+            "derived from the PATH, not the checkpoint contents: wiping and "
+            "recreating this checkpoint (force-reprocess) keeps the old "
+            "identity and the restarted batches 0..N will be discarded as "
+            "replays. Pass an explicit ingest_id= to the sink for remote "
+            "checkpoints.",
+            stacklevel=3,
+        )
         return "path-" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker = os.path.join(checkpoint_dir, ".snapshot_sink_id")
@@ -236,6 +249,7 @@ def snapshot_sink(
     checkpoint_dir: str,
     partition_col: str | None = None,
     trigger_once: bool = False,
+    ingest_id: str | None = None,
 ):
     """Stream into a versioned snapshot table: each micro-batch commits
     atomically through sources/snapshots.py (write the data dir
@@ -246,8 +260,13 @@ def snapshot_sink(
     the crash window between snapshot commit and Spark's checkpoint
     commit-log write.
 
+    `ingest_id` overrides the checkpoint-derived identity — REQUIRED in
+    spirit for remote (URI) checkpoints, where the fallback identity is
+    path-derived and a checkpoint wipe would silently discard the
+    restarted batches as replays (see _ingest_id).
+
     Returns the started StreamingQuery (caller awaits/stops)."""
-    iid = _ingest_id(checkpoint_dir)
+    iid = ingest_id if ingest_id is not None else _ingest_id(checkpoint_dir)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         _commit_stream_batch(
@@ -343,15 +362,17 @@ def dedup_snapshot_sink(
     id_col: str = "url",
     partition_col: str | None = None,
     trigger_once: bool = False,
+    ingest_id: str | None = None,
 ):
     """Streaming ingest with CORPUS-HISTORY exact dedup: the batch-mode
     statement in this module's docstring ("corpus-level dedup is a join
     against a compacted snapshot, not stream state") implemented — the
     snapshot store IS the compacted index, each micro-batch anti-joins
     it and atomically appends both survivors and their hash pairs.
-    Replay-safe via the committed (ingest_id, batch_id). Returns the
-    started query."""
-    iid = _ingest_id(checkpoint_dir)
+    Replay-safe via the committed (ingest_id, batch_id); pass an explicit
+    `ingest_id` for remote (URI) checkpoints (see _ingest_id). Returns
+    the started query."""
+    iid = ingest_id if ingest_id is not None else _ingest_id(checkpoint_dir)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         _dedup_commit_batch(

@@ -267,3 +267,73 @@ def test_publish_folds_in_concurrent_commit_past_squat(spark, tmp_path):
     v = snap.append(_df(spark, 7, 9), root)
     assert v == 4
     assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2, 7, 8, 50, 51]
+
+
+def test_shadowed_commit_merged_not_unlinked(spark, tmp_path, monkeypatch):
+    """ADVICE r4 #1: a parsable manifest landing in the squat-skipped range
+    between the pre-link re-check and the link must NOT get our published
+    manifest unlinked (readers/writers may already hold it) — the shadowed
+    commit's additions fold in via a corrective merge commit on top."""
+    root = str(tmp_path / "tbl")
+    snap.append(_df(spark, 0, 3), root)                       # v1
+    mdir = os.path.join(root, "_manifests")
+    open(os.path.join(mdir, "v2.json"), "w").close()          # unparsable squat
+    rel2 = snap._write_data(_df(spark, 50, 52), root, 2, None)
+    m2 = {
+        "operation": "append",
+        "committed_at": 0.0,
+        "dirs": snap._read_manifest(root, 1)["dirs"] + [rel2],
+    }
+    orig = snap._try_commit
+
+    def planted(root_, manifest, version):
+        # Interleave: just before OUR link of v3, the squatter resolves and
+        # a concurrent committer lands a PARSABLE v2 — inside the TOCTOU
+        # window the pre-link re-check cannot close.
+        if version == 3:
+            os.unlink(os.path.join(mdir, "v2.json"))
+            assert orig(root_, m2, 2)
+        return orig(root_, manifest, version)
+
+    monkeypatch.setattr(snap, "_try_commit", planted)
+    v = snap.append(_df(spark, 7, 9), root)
+    monkeypatch.setattr(snap, "_try_commit", orig)
+
+    assert v == 4                                             # corrective merge
+    # nothing lost: our rows AND the shadowed commit's rows are current
+    assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2, 7, 8, 50, 51]
+    # append-only history: v3 was never unlinked and still time-travels
+    assert _ids(snap.read_snapshot(spark, root, version=3)) == [0, 1, 2, 7, 8]
+    assert _ids(snap.read_snapshot(spark, root, version=2)) == [0, 1, 2, 50, 51]
+    assert snap.history(root)[-1]["operation"].startswith("merge(shadowed v2")
+
+
+def test_replace_carries_transaction_content(spark, tmp_path):
+    """ADVICE r4 #2: replace() swaps only the single-table `dirs` — the
+    multi-table map and the extra payload (streaming replay guard, resume
+    dates) carry through instead of being silently erased."""
+    root = str(tmp_path / "tbl")
+    rel = snap.write_table_data(_df(spark, 0, 3), root, "stream", 1)
+    snap.commit_transaction(
+        root, {"stream": [rel]},
+        extra={"batch_ids": {"ing": 4}, "dates": ["2025-01-01"]},
+    )
+    snap.append(_df(spark, 200, 202), root)                   # single-table dirs
+    snap.replace(_df(spark, 100, 102), root)
+    assert _ids(snap.read_snapshot(spark, root)) == [100, 101]
+    assert _ids(snap.read_table(spark, root, "stream")) == [0, 1, 2]
+    ex = snap.latest_extra(root)
+    assert ex["batch_ids"] == {"ing": 4}
+    assert ex["dates"] == ["2025-01-01"]
+
+
+def test_merge_extra_batch_ids_take_max():
+    """Corrective merges can present either side with the higher batch id;
+    taking the lower would wrongly discard later batches as replays."""
+    got = snap._merge_extra(
+        {"batch_ids": {"a": 7, "b": 1}, "dates": ["d1"], "k": "old"},
+        {"batch_ids": {"a": 3, "c": 2}, "dates": ["d2"], "k": "new"},
+    )
+    assert got["batch_ids"] == {"a": 7, "b": 1, "c": 2}
+    assert got["dates"] == ["d1", "d2"]
+    assert got["k"] == "new"

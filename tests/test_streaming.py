@@ -272,3 +272,20 @@ def test_two_ingests_keep_independent_replay_records(spark, tmp_path_factory):
     assert snap.latest_extra(root)["batch_ids"] == {"A": 5, "B": 0}
     assert _commit_stream_batch(b, 5, root, ingest_id="A") is False  # A replay
     assert _commit_stream_batch(b, 1, root, ingest_id="B")           # B advances
+
+
+def test_remote_checkpoint_identity_warns():
+    """ADVICE r4 #3: the path-derived fallback identity for remote (URI)
+    checkpoints silently survives a checkpoint wipe — it must warn and
+    point at the explicit ingest_id override."""
+    import warnings
+
+    from inspectehr_spark.streaming.quality_stream import _ingest_id
+
+    with pytest.warns(UserWarning, match="force-reprocess"):
+        ident = _ingest_id("s3a://bucket/ckpt")
+    assert ident.startswith("path-")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")      # local paths must stay silent
+        local = _ingest_id(str(__import__("tempfile").mkdtemp()))
+    assert local and not local.startswith("path-")
