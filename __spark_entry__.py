@@ -23,40 +23,63 @@ SF0001 = "/root/testdata/sf0.001"
 # thrice-green veterans go last.  Names absent from the registry are ignored
 # so this list can't break the contract.
 _DRIVER_PRIORITY = [
-    # never driver-checked as of round 3 (r2 episode/tod/drift batch + all r3)
-    "episode_table",
-    "comparison_failures",
-    "tod_bounds_fail",
-    "tod_ks_drift",
-    "drift_flagged_groups",
-    "chronology_decomposed",
-    "episode_invalid_records",
-    "origin_failures",
-    "monthly_blacklist",
-    "periodicity_failures",
-    "near_dup_cells",
-    "asof_last_view",
-    "asof_next_view",
-    "daily_type_rollup",
-    "value_percentiles",
-    "word_dup_stats",
+    # rows-only records since r1 — three gain full DuckDB oracles in r5
+    # (hash-replay technique); pipeline_decisions stays rows-only (model
+    # UDFs) but re-verifies the r5 mapInArrow conversion
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "ann_lsh_topk",
+    "pipeline_decisions",
+    # oracle-paired in r5 (was rows-only in r4)
+    "simhash_hamming_pairs",
+    # registry engine switched sql→arrow in r5 — re-verify vs the oracle
+    "embedding_near_dup",
+    # snapshot commit protocol + scratch lifecycle changed in r5
+    "decisions_history",
+    # last driver-checked in r3 — the veterans, oldest rows first
+    "pricing_summary",
+    "nation_revenue",
+    "customers_no_orders",
+    "building_segment_orders",
+    "top_suppliers_per_nation",
+    "nation_order_span",
+    "knn_cosine",
+    "label_centroid_distance",
+    "nhs_checksum",
+    "icnarc_structure",
+    "postcode_conformance",
+    "ks_drift",
+    "pivot_user_types",
+    "stack_wide_to_long",
+    "events_outside_user_span",
+    "weekly_profile",
+    "sparse_day_outliers",
+    "score_events_daily",
+    "conflicting_props",
+    "value_ecdf",
+    "histogram_prep",
+    "spell_durations",
+    "combine_union",
+    "logistic_score",
+    "metadata_missing",
+    "failure_tally",
+    "tpch_q3_shipping",
+    "tpch_q5_local_volume",
+    "minhash_band_signature",
+    "ivf_topk",
+    "bpe_token_counts",
+    # r4-green queries whose code paths the r5 refactors touch
+    # (arrow pair chain, scrub/term-list config, curation sf1 re-checks)
+    "near_dup_components",
+    "near_dup_survivors",
+    "keep_drop",
     "line_scrub",
     "dedup_within_doc",
-    "psi_drift",
-    "near_dup_components",
-    "embedding_near_dup_arrow",
-    "simhash_hamming_pairs",
-    # new in round 4
-    "near_dup_survivors",
-    "asof_nearest_view",
-    "decisions_history",
-    "segment_line_lengths",
-    "ngram_jaccard_adjacent",
+    "word_dup_stats",
     "dataset_split",
     "stratified_sample_docs",
     "packed_bins",
     "decontaminate",
-    "multimodal_image_features",
 ]
 
 

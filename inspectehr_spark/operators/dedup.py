@@ -223,6 +223,150 @@ def with_simhash(
     ).drop("_toks", "_th", "_votes")
 
 
+def with_simhash_replayable(
+    df: DataFrame,
+    text_col: str = "text",
+    hi_col: str = "fp_hi",
+    lo_col: str = "fp_lo",
+) -> DataFrame:
+    """64-bit SimHash with ENGINE-REPLAYABLE token hashes: the token hash
+    is the first 16 hex chars of md5(token), carried as two 32-bit halves
+    (`hi_col` bits 63..32, `lo_col` bits 31..0) so every value fits a
+    signed BIGINT in any engine — DuckDB replays it verbatim via
+    ``('0x'||substring(md5(t),1,8))::BIGINT`` (cross-checked against
+    Spark's conv(substring(md5),16,10) on fixtures).
+
+    Same single-pass vote shape as `with_simhash` (one traversal of the
+    token hashes, zip_with accumulator — the VERDICT r1 #5 form), same
+    tie/empty semantics (vote ties → bit 0, null token lists → 0/0).
+    `with_simhash` (xxhash64) stays the scale path: one 64-bit hash per
+    token instead of an md5 + two string-slice conversions. This variant
+    exists so the simhash REGISTRY queries get full DuckDB value oracles
+    (the md5-minhash treatment, queries_episodes.q_minhash_band_signature)."""
+    staged = df.withColumn("_toks", F.split(F.col(text_col), r"\s+"))
+    staged = staged.withColumn(
+        "_md5", F.transform(F.col("_toks"), lambda t: F.md5(t))
+    )
+    staged = staged.withColumn(
+        "_th",
+        F.transform(
+            F.col("_md5"),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("hi"),
+                F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("lo"),
+            ),
+        ),
+    )
+    bit_positions = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        F.col("_th"),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_positions,
+                lambda b: F.when(
+                    F.when(b < 32, F.getbit(h["lo"], b))
+                    .otherwise(F.getbit(h["hi"], b - 32)) == 1,
+                    1,
+                ).otherwise(-1),
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    staged = staged.withColumn("_votes", votes)
+
+    def _fold(offset: int):
+        pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_votes"), offset + 1, 32),
+                pow2,
+                lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return (
+        staged.withColumn(lo_col, F.coalesce(_fold(0), F.lit(0).cast("long")))
+        .withColumn(hi_col, F.coalesce(_fold(32), F.lit(0).cast("long")))
+        .drop("_toks", "_md5", "_th", "_votes")
+    )
+
+
+def simhash_hamming_pairs_replayable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """`simhash_hamming_pairs` over the REPLAYABLE (md5 split-half)
+    simhash: identical banding/pigeonhole/cap/verify structure, fingerprint
+    carried as (hi, lo) 32-bit halves so DuckDB replays every step —
+    hamming = bit_count(xor(hi)) + bit_count(xor(lo)). See
+    `simhash_hamming_pairs` for the scheme; this backs the value-checked
+    registry query."""
+    if not 0 < chunks <= 64 or 64 % chunks:
+        raise ValueError("chunks must divide 64")
+    if max_hamming >= chunks:
+        raise ValueError(
+            "pigeonhole guarantee needs max_hamming < chunks "
+            f"(got {max_hamming} >= {chunks})"
+        )
+    bandw = 64 // chunks
+    if bandw > 32 or 32 % bandw:
+        raise ValueError("band width must divide the 32-bit halves")
+    mask = (1 << bandw) - 1
+    per_half = 32 // bandw
+    sh = with_simhash_replayable(
+        df.select(id_col, text_col), text_col=text_col
+    ).select(F.col(id_col).alias("doc_id"), "fp_hi", "fp_lo")
+
+    def _band(b: int):
+        half = F.col("fp_lo") if b < per_half else F.col("fp_hi")
+        shift = (b % per_half) * bandw
+        return F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned(half, shift).bitwiseAND(F.lit(mask)).alias(
+                "band_val"
+            ),
+        )
+
+    banded = sh.select(
+        "doc_id",
+        "fp_hi",
+        "fp_lo",
+        F.explode(F.array(*[_band(b) for b in range(chunks)])).alias("band"),
+    ).select("doc_id", "fp_hi", "fp_lo", "band.band_id", "band.band_val")
+
+    wb = Window.partitionBy("band_id", "band_val").orderBy("doc_id")
+    banded = banded.withColumn("_rn", F.row_number().over(wb)).filter(
+        F.col("_rn") <= bucket_cap
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            (
+                F.bit_count(F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi")))
+                + F.bit_count(F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo")))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,

@@ -163,7 +163,12 @@ def extract_score_udf(html: pd.Series) -> pd.DataFrame:
     transfers html in and (text, lang, ppl) out once, halving boundary
     bytes and syscalls; the per-column logic is byte-identical to the
     standalone UDFs (shared helpers, property-tested against the serial
-    labeler)."""
+    labeler).
+
+    The pipeline hot path now uses `map_extract_score` (mapInArrow —
+    skips this UDF's Arrow⇄pandas conversion layers); this struct UDF is
+    kept as the column-level surface and as the equivalence anchor the
+    mapInArrow path is tested against."""
     txt = _extract_series(html)
     return pd.DataFrame(
         {
@@ -172,3 +177,62 @@ def extract_score_udf(html: pd.Series) -> pd.DataFrame:
             "perplexity": _perplexity_series(txt),
         }
     )
+
+
+def map_extract_score(df, html_col: str = "html"):
+    """Fused extraction + langid + perplexity as ONE `mapInArrow` pass:
+    consumes `html_col` and appends (text_x, lang_pred, perplexity).
+
+    Why mapInArrow over the scalar pandas UDF (r4 diagnostics,
+    BENCH_cluster.md): at high core counts the pipeline's scaling was
+    capped by the pyspark-worker boundary — 76% of worker CPU in the
+    socket/serialization syscall path. The pandas-UDF evaluator wraps
+    every batch in Arrow→pandas→Arrow conversions (per-row string boxing
+    into object arrays on BOTH directions of the struct column) before a
+    single model byte runs. mapInArrow hands the worker the RAW Arrow
+    RecordBatch: html is converted to pandas exactly once (the model
+    helpers are pandas/numpy), passthrough columns are re-emitted
+    zero-copy, and the three result arrays go straight from numpy/pandas
+    into Arrow arrays — no struct-column assembly, no block-manager
+    round trip, no index alignment.
+
+    Boundary-bytes contract: `html` crosses the socket ONCE (inbound; it
+    is consumed, never echoed back), results cross once (outbound) —
+    identical to the pandas-UDF shape. Passthrough columns cross twice,
+    so callers should drop dead-weight wide columns (e.g. the raw crawl
+    `text`) BEFORE this stage; run_pipeline does.
+
+    Byte-identical to `extract_score_udf` by construction (same helper
+    functions), asserted by an equivalence test."""
+    import pyarrow as pa
+
+    passthrough = [f for f in df.schema.fields if f.name != html_col]
+    out_schema = StructType(
+        list(passthrough)
+        + [
+            StructField("text_x", StringType()),
+            StructField("lang_pred", StringType()),
+            StructField("perplexity", DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        for b in batches:
+            names = b.schema.names
+            hi = names.index(html_col)
+            txt = _extract_series(b.column(hi).to_pandas())
+            arrays = [b.column(i) for i in range(b.num_columns) if i != hi]
+            arrays.append(pa.Array.from_pandas(txt, type=pa.string()))
+            arrays.append(
+                pa.Array.from_pandas(_langid_series(txt), type=pa.string())
+            )
+            arrays.append(
+                pa.Array.from_pandas(_perplexity_series(txt), type=pa.float64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                names=[n for i, n in enumerate(names) if i != hi]
+                + ["text_x", "lang_pred", "perplexity"],
+            )
+
+    return df.mapInArrow(score_batches, out_schema)

@@ -29,6 +29,15 @@ _TS_HI = dt.datetime.fromisoformat(spec.TS_HI_ISO)
 # in the spec, never (?i), whose case folding IS engine-dependent
 # (Python folds ſ→s, Java does not without UNICODE_CASE).
 _SCRUB = [(re.compile(p), r) for p, r in spec.SCRUB_CHAIN]
+
+
+def scrub_serial_chain(text: str, chain) -> str:
+    """scrub_serial over an INJECTED chain (spec.build_scrub_chain(...)) —
+    the serial ground truth for the parameterized byte-identity property
+    test; compiled per call, so only tests use it."""
+    for pat, repl in ((re.compile(p), r) for p, r in chain):
+        text = pat.sub(repl, text)
+    return text
 _VOCAB, _PROFILES = spec.build_profiles()
 _VOCAB_SET = frozenset(_VOCAB)
 _SW = frozenset(ALL_STOPWORDS)

@@ -5,10 +5,11 @@ Stages (all declarative; Catalyst owns the physical plan):
   pages(url, warc_ts, html, text, lang)
     │ resume: anti-join processed-partition manifest         (R/perform_evaluation.R:267-274 skip-list pattern)
     │ salt: repartition on (salt) — giant-HTML skew guard
-    ├─ extract_score_udf(html)         → text_x, lang_pred, perplexity
-    │     (ONE fused Arrow UDF — one JVM⇄Python boundary crossing;
-    │      separate UDFs measurably spent >half the high-core CPU in
-    │      the worker socket syscall path)
+    ├─ map_extract_score(html)         → text_x, lang_pred, perplexity
+    │     (ONE fused mapInArrow stage — html crosses the JVM⇄Python
+    │      boundary once and is consumed there; raw Arrow batches skip
+    │      the pandas-UDF evaluator's Arrow⇄pandas conversion layers,
+    │      the r4-measured worker-socket/serialization scaling term)
     ├─ native heuristic features       → n_chars … dup_ngram_frac
     ├─ exact-dup verdicts              → is_duplicate
     │     dup_strategy="window": hash-pair-keyed window (ONE wide
@@ -43,12 +44,17 @@ from inspectehr_spark.sources import snapshots as snap
 
 from inspectehr_spark.functions.textfns import ALL_STOPWORDS, word_ngrams
 from inspectehr_spark.pipeline import spec
-from inspectehr_spark.pipeline.models import extract_score_udf
+from inspectehr_spark.pipeline.models import map_extract_score
 from inspectehr_spark.pipeline.scrub import scrub_text
 
 
 def enrich(pages: DataFrame) -> DataFrame:
-    """Extraction + features + model scores.
+    """Extraction + features + model scores. `html` is CONSUMED by the
+    mapInArrow model stage (it crosses into Python once and never comes
+    back); all other input columns pass through, plus text_x / lang_pred /
+    perplexity and the native heuristic features. Drop unread wide columns
+    (the raw crawl `text`) before calling — passthrough columns cross the
+    worker boundary twice.
 
     Staged projections, not one: `_toks` (and `_tris`) are MATERIALIZED as
     array columns before any higher-order function references them. A
@@ -85,12 +91,12 @@ def enrich(pages: DataFrame) -> DataFrame:
     ).otherwise(F.lit(0.0))
 
     return (
-        # ONE fused Arrow UDF (extract + langid + perplexity): each row
-        # crosses the JVM⇄Python boundary once — with separate UDFs the
-        # socket syscall path was >half the 8-core CPU (see
-        # models.extract_score_udf).
-        pages.withColumn("_m", extract_score_udf("html"))
-        .withColumn("text_x", F.col("_m.text_x"))
+        # ONE fused mapInArrow stage (extract + langid + perplexity): html
+        # crosses the JVM⇄Python boundary once and is CONSUMED there (not
+        # echoed back); raw Arrow batches skip the pandas-UDF evaluator's
+        # Arrow⇄pandas conversion layers entirely (see
+        # models.map_extract_score for the measured rationale).
+        map_extract_score(pages)
         .withColumn(
             "_toks", F.filter(F.split(F.col("text_x"), " "), lambda t: t != "")
         )
@@ -103,10 +109,8 @@ def enrich(pages: DataFrame) -> DataFrame:
             sym_ratio.alias("symbol_ratio"),
             sw_ratio.alias("stopword_ratio"),
             dupng.alias("dup_ngram_frac"),
-            F.col("_m.lang_pred").alias("lang_pred"),
-            F.col("_m.perplexity").alias("perplexity"),
         )
-        .drop("_toks", "_tris", "_m")
+        .drop("_toks", "_tris")
     )
 
 
@@ -235,12 +239,18 @@ def failure_log(flagged: DataFrame) -> DataFrame:
     ).select("url", "p_date", F.col("f.check_code").alias("check_code"))
 
 
-def decide(flagged: DataFrame, checks: tuple[str, ...] = spec.CHECKS) -> DataFrame:
+def decide(
+    flagged: DataFrame,
+    checks: tuple[str, ...] = spec.CHECKS,
+    scrub_chain: tuple[tuple[str, str], ...] | None = None,
+) -> DataFrame:
     """keep = no flag set; first_fail_code = lexicographic min (exactly the
     anti-join semantics — computed column-wise to avoid re-joining).
 
     `checks` subsets the battery — the analog of the reference running only
-    the checks defined for a data class (R/evaluate_events.R:39-87)."""
+    the checks defined for a data class (R/evaluate_events.R:39-87).
+    `scrub_chain` injects a custom PII/toxicity chain
+    (spec.build_scrub_chain); default is the spec chain."""
     fail_codes = F.array(
         *[
             F.when(F.col(f"f_{code}"), F.lit(code))
@@ -253,7 +263,7 @@ def decide(flagged: DataFrame, checks: tuple[str, ...] = spec.CHECKS) -> DataFra
         "p_date",
         min_fail.isNull().alias("keep"),
         min_fail.alias("first_fail_code"),
-        scrub_text("text_x").alias("scrubbed_text"),
+        scrub_text("text_x", chain=scrub_chain).alias("scrubbed_text"),
     )
 
 
@@ -296,8 +306,14 @@ def run_pipeline(
     resume: bool = True,
     salt_partitions: int | None = None,
     dup_strategy: str = "window",
+    tox_terms_path: str | None = None,
 ) -> dict[str, int]:
     """Execute the pipeline; idempotent under resume.
+
+    `tox_terms_path` injects a moderation term list (one term per line,
+    spec.load_tox_terms) into the scrub chain's toxicity stage; the PII
+    rules and the chain ORDER are unchanged, so the byte-identity
+    contract holds for any injected list (property-tested).
 
     Partition unit = p_date (date(warc_ts)) — the lineage key. All three
     sinks (decisions/failures/metrics) AND the processed-date record
@@ -353,14 +369,20 @@ def run_pipeline(
             salt_partitions, F.pmod(F.xxhash64("url"), F.lit(salt_partitions))
         )
 
-    # Drop the columns no sink reads before persisting: html is the widest
-    # column in the table and text/warc_ts/lang are already folded into
-    # text_x/p_date/flags — caching them would multiply the cache footprint
-    # (and its build-time compression cost) for bytes nothing reads.
+    # Drop dead-weight columns BEFORE the worker boundary, not after:
+    # `text` (the raw crawl text) is read by nothing downstream — text_x
+    # is re-extracted from html — and enrich's mapInArrow stage echoes
+    # every passthrough column back over the socket, so carrying it would
+    # double its bytes through Python for nothing. html itself is consumed
+    # inside the map stage (crosses once, never returns). warc_ts/lang are
+    # kept through the flags (f_warc_ts_bounds / f_lang*) then dropped
+    # before persisting — caching them would multiply the cache footprint
+    # for bytes no sink reads.
+    pages = pages.drop("text")
     if dup_strategy == "window":
         # one wide pass: the dup window's exchange carries the rows once
         flagged = failure_flags(flag_exact_duplicates(enrich(pages))).drop(
-            "html", "text", "warc_ts", "lang"
+            "warc_ts", "lang"
         )
         cached = flagged = flagged.persist()
     elif dup_strategy == "broadcast":
@@ -369,14 +391,19 @@ def run_pipeline(
         # persisted enrichment), broadcast-joined back; the wide rows
         # keep the input (p_date, salt) clustering all the way to the
         # sinks. See flag_exact_duplicates_broadcast for the scale bound.
-        cached = enrich(pages).drop("html", "text").persist()
+        cached = enrich(pages).persist()
         flagged = failure_flags(flag_exact_duplicates_broadcast(cached)).drop(
             "warc_ts", "lang"
         )
     else:
         raise ValueError(f"unknown dup_strategy: {dup_strategy!r}")
+    scrub_chain = (
+        spec.build_scrub_chain(tox_terms=spec.load_tox_terms(tox_terms_path))
+        if tox_terms_path
+        else None
+    )
     try:
-        decisions = decide(flagged)
+        decisions = decide(flagged, scrub_chain=scrub_chain)
         log = failure_log(flagged)
         mets = metrics_table(flagged)
 
@@ -454,6 +481,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--salt-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--tox-terms", default=None,
+        help="moderation term list file (one term per line, # comments)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="quality-filter", master=args.master)
@@ -463,6 +494,7 @@ def main(argv: list[str] | None = None) -> None:
         args.out,
         resume=not args.no_resume,
         salt_partitions=args.salt_partitions,
+        tox_terms_path=args.tox_terms,
     )
     print(stats)
     spark.stop()

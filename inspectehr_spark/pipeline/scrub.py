@@ -18,8 +18,14 @@ from pyspark.sql import functions as F
 from inspectehr_spark.pipeline import spec
 
 
-def scrub_text(col: Column | str) -> Column:
+def scrub_text(
+    col: Column | str,
+    chain: tuple[tuple[str, str], ...] | None = None,
+) -> Column:
+    """Apply the ordered scrub chain (default spec.SCRUB_CHAIN; pass
+    spec.build_scrub_chain(tox_terms=...) to inject a custom moderation
+    list — run_pipeline's --tox-terms threads a file through here)."""
     out = F.col(col) if isinstance(col, str) else col
-    for pattern, repl in spec.SCRUB_CHAIN:
+    for pattern, repl in (spec.SCRUB_CHAIN if chain is None else chain):
         out = F.regexp_replace(out, pattern, repl)
     return out

@@ -152,13 +152,50 @@ def _ci(term: str) -> str:
     return "".join(out)
 
 
-SCRUB_CHAIN = (
+# PII rules are structural patterns (not term lists); the toxicity stage
+# appends as a word-boundary alternation built from whatever term list is
+# injected. build_scrub_chain() keeps the ORDER invariant: PII first,
+# toxicity last — the byte-identity property tests run parameterized over
+# injected lists (tests/test_property_parity.py).
+PII_RULES = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b0\d{4}[ ]?\d{3}[ ]?\d{3}\b", "<PHONE>"),
     (r"\b[A-Z]{1,2}[0-9][A-Z0-9]? ?[0-9][A-Z]{2}\b", "<POSTCODE>"),
     (r"\b\d{10}\b", "<ID>"),
-    (r"\b(?:" + "|".join(_ci(t) for t in TOX_TERMS) + r")\b", "<TOX>"),
 )
+
+
+def build_scrub_chain(
+    tox_terms: tuple[str, ...] = TOX_TERMS,
+    pii_rules: tuple[tuple[str, str], ...] = PII_RULES,
+) -> tuple[tuple[str, str], ...]:
+    """Ordered (pattern, replacement) chain from injectable rule/term
+    lists. Toxicity terms go through `_ci` (explicit-class case folding,
+    metacharacters escaped) so any real moderation list — mixed case,
+    regex metachars, non-ASCII — compiles to the SAME semantics in Java
+    and Python regex. An empty term list simply omits the stage."""
+    chain = tuple(pii_rules)
+    if tox_terms:
+        chain += (
+            (r"\b(?:" + "|".join(_ci(t) for t in tox_terms) + r")\b", "<TOX>"),
+        )
+    return chain
+
+
+def load_tox_terms(path: str) -> tuple[str, ...]:
+    """Load a moderation term list: one term per line, blank lines and
+    '#' comment lines skipped, surrounding whitespace stripped. The file
+    format every real blocklist ships in."""
+    terms = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            t = line.strip()
+            if t and not t.startswith("#"):
+                terms.append(t)
+    return tuple(terms)
+
+
+SCRUB_CHAIN = build_scrub_chain()
 
 # --- tokenization -------------------------------------------------------------
 

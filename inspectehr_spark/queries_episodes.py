@@ -742,12 +742,25 @@ def q_embedding_near_dup(spark, sf_dir):
     verifies inside the cell only — never all-pairs. The per-cell cap
     (lowest-id keep, VERDICT r2 #2) bounds within-cell O(cell²) work; it is
     mirrored in the oracle via ROW_NUMBER so the cap semantics themselves
-    are value-checked, not just the uncapped happy path."""
+    are value-checked, not just the uncapped happy path.
+
+    Engine = "arrow" (per-cell blocked float64 GEMM) — the scale path IS
+    the registry path (VERDICT r4: the interpreted HOF left-fold cosine
+    was the one remaining registry scale-killer, 67.8 s at sf1 vs 4.5 s
+    arrow for identical pairs). The DuckDB oracle's left-fold arithmetic
+    still hash-matches because cosines are rounded to 6dp before the
+    threshold compare: BLAS vs left-fold summation differs only in the
+    last ulp, far inside the rounding grid off the exact boundary —
+    asserted pair-for-pair WITH 6dp cosines against the sql engine in
+    tests/test_operators.py::test_near_dup_engines_agree and re-verified
+    at sf0.001/0.01/0.1/staged-sf1. The sql engine survives as that
+    parity baseline only, out of every registry plan."""
     from inspectehr_spark.ann import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        emb, threshold=0.35, bucket_col="label", bucket_cap=2000
+        emb, threshold=0.35, bucket_col="label", bucket_cap=2000,
+        engine="arrow",
     )
 
 

@@ -137,21 +137,41 @@ def history(root: str) -> list[dict]:
     return out
 
 
+def _referenced_dirs(root: str) -> set[str]:
+    """Every data dir any committed manifest references (all versions —
+    time travel stays intact)."""
+    refs: set[str] = set()
+    for v in _versions(root):
+        m = _read_manifest(root, v)
+        refs.update(os.path.normpath(d) for d in m["dirs"])
+        for dirs in m.get("tables", {}).values():
+            refs.update(os.path.normpath(d) for d in dirs)
+    return refs
+
+
 def vacuum(root: str, grace_sec: float = 24 * 3600.0) -> list[str]:
     """Delete ORPHANED data directories: on-disk dirs referenced by NO
     manifest (any version — time travel stays intact) and older than
     `grace_sec` (mtime), so a writer mid-commit is never swept. The
     Iceberg remove-orphan-files analog for crashed runs, which under the
     atomic-commit protocol leave inert invisible data dirs behind.
+
+    TOCTOU guard (r5): a dir can become referenced AFTER the scan that
+    judged it orphaned — a crashed writer's dir age past the grace, then
+    the writer resumes and commits it while vacuum is mid-sweep. So no
+    candidate is rmtree'd directly: it is first RENAMED to a hidden
+    `.trash-*` name (atomic), the references are re-scanned, and a dir
+    that became referenced is renamed straight back — vacuum can never
+    PERMANENTLY remove referenced data, only flicker it for the µs
+    between the rename pair (a concurrent reader retries). Aged `.trash-*`
+    leftovers from a vacuum that crashed between rename and delete are
+    swept too (they are never referenced — manifests never name trash).
+    The mtime grace remains the primary guard for in-flight
+    written-but-uncommitted dirs, which no manifest can vouch for yet.
     Returns the deleted manifest-relative paths."""
     import shutil
 
-    referenced: set[str] = set()
-    for v in _versions(root):
-        m = _read_manifest(root, v)
-        referenced.update(os.path.normpath(d) for d in m["dirs"])
-        for dirs in m.get("tables", {}).values():
-            referenced.update(os.path.normpath(d) for d in dirs)
+    referenced = _referenced_dirs(root)
     now = time.time()
     deleted: list[str] = []
     # data dirs live at <root>/data/c* (single-table) or <root>/<name>/data/c*
@@ -167,11 +187,28 @@ def vacuum(root: str, grace_sec: float = 24 * 3600.0) -> list[str]:
         for d in os.listdir(abs_data):
             rel = os.path.normpath(os.path.join(rel_data, d))
             path = os.path.join(abs_data, d)
-            if rel in referenced or not os.path.isdir(path):
+            if not os.path.isdir(path):
                 continue
-            if now - os.path.getmtime(path) < grace_sec:
+            try:
+                aged = now - os.path.getmtime(path) >= grace_sec
+            except OSError:
+                continue                   # raced another cleaner: skip
+            if not aged:
                 continue
-            shutil.rmtree(path)
+            if d.startswith(".trash-"):
+                shutil.rmtree(path, ignore_errors=True)
+                continue                   # crashed-vacuum leftover
+            if rel in referenced:
+                continue
+            trash = os.path.join(abs_data, f".trash-{uuid.uuid4().hex}")
+            try:
+                os.rename(path, trash)     # atomic claim
+            except OSError:
+                continue                   # raced a concurrent vacuum
+            if rel in _referenced_dirs(root):
+                os.rename(trash, path)     # late commit won: restore intact
+                continue
+            shutil.rmtree(trash)
             deleted.append(rel)
     return sorted(deleted)
 

@@ -386,3 +386,193 @@ def dedup_snapshot_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _near_dup_commit_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    partition_col: str | None = None,
+    ingest_id: str = "default",
+) -> int:
+    """Commit one micro-batch with corpus-history NEAR-dup (MinHash band)
+    dedup; returns surviving rows (0 when skipped/empty).
+
+    The streaming twin of the batch MinHash+LSH path
+    (operators/dedup.minhash_lsh_duplicates): the snapshot root carries
+    the BAND INDEX as history — table 'bands'(band_id, band_hash, _nd_id)
+    and table 'sigs'(_nd_id, _nd_sig) — so a batch document is a near-dup
+    when it shares a band with a committed survivor AND the signature
+    agreement fraction >= `jaccard_threshold` (exact same banded-candidate
+    → verify semantics as batch; band collisions alone never drop a doc).
+    Within a batch the keep rule is EDGE-based keep-first: a doc drops on
+    a verified pair to a smaller id (the streaming analog of the exact
+    sink's keep-first; the batch survivorship chain collapses full
+    components to the min id — a transitive chain whose links span this
+    one micro-batch can therefore keep a doc the batch rule would fold,
+    documented divergence). Docs with no shingles (< n tokens) can't be
+    near-dups by this metric: they pass through as survivors and never
+    enter the index (also keeps the degenerate empty-signature band from
+    becoming one giant hot bucket).
+
+    Survivors + their bands + their signatures commit in ONE transaction
+    (the index can never diverge from the data), replay-safe via the
+    committed (ingest_id, batch_id).
+
+    Scale: per batch this is (batch bands) ⋈ (history band index) — a
+    keyed equi-join; persist the history 'bands' table bucketed by
+    band_hash at 10^12-doc scale so the join is storage-partitioned."""
+    from inspectehr_spark.operators.dedup import (
+        with_minhash_signature,
+        with_shingles,
+    )
+    from inspectehr_spark.sources import snapshots as snap
+
+    if _replayed(snap.latest_extra(root), ingest_id, batch_id):
+        return 0
+    rows_per_band = num_hashes // bands
+    spark = batch_df.sparkSession
+
+    sigs = with_minhash_signature(
+        with_shingles(batch_df.select(F.col(id_col).alias("_nd_id"), text_col),
+                      text_col=text_col),
+        num_hashes=num_hashes,
+    ).filter(F.size("shingles") > 0).select("_nd_id", F.col("sig").alias("_nd_sig"))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.slice(F.col("_nd_sig"), b * rows_per_band + 1, rows_per_band)
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "_nd_id", "_nd_sig", F.explode(band_arr).alias("b")
+    ).select("_nd_id", "_nd_sig", "b.band_id", "b.band_hash")
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("_nd_sig", "_hist_sig", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+
+    # --- history near-dups: batch bands ⋈ committed band index ---
+    losers = None
+    try:
+        hist_bands = snap.read_table(spark, root, "bands").withColumnRenamed(
+            "_nd_id", "_hist_id"
+        )
+        hist_sigs = snap.read_table(spark, root, "sigs").select(
+            F.col("_nd_id").alias("_hist_id"), F.col("_nd_sig").alias("_hist_sig")
+        )
+        cand = (
+            banded.join(hist_bands, ["band_id", "band_hash"])
+            .select("_nd_id", "_nd_sig", "_hist_id")
+            .dropDuplicates(["_nd_id", "_hist_id"])
+            .join(hist_sigs, "_hist_id")
+        )
+        losers = cand.filter(est >= jaccard_threshold).select("_nd_id").distinct()
+    except FileNotFoundError:
+        pass                                   # first batch: empty history
+
+    # --- within-batch near-dups: banded self-join, drop the larger id ---
+    a, b2 = banded.alias("a"), banded.alias("b")
+    within_pairs = (
+        a.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._nd_id") < F.col("b._nd_id")),
+        )
+        .select(
+            F.col("a._nd_sig").alias("_nd_sig"),
+            F.col("b._nd_sig").alias("_hist_sig"),
+            F.col("b._nd_id").alias("_nd_id"),
+        )
+        .dropDuplicates(["_nd_id", "_nd_sig", "_hist_sig"])
+    )
+    within_losers = (
+        within_pairs.filter(est >= jaccard_threshold).select("_nd_id").distinct()
+    )
+    all_losers = (
+        within_losers if losers is None else losers.unionByName(within_losers)
+    ).distinct()
+
+    fresh = batch_df.join(
+        all_losers.withColumnRenamed("_nd_id", id_col), id_col, "left_anti"
+    ).persist()
+    try:
+        if not fresh.take(1):
+            return 0
+        kept_sigs = sigs.join(
+            fresh.select(F.col(id_col).alias("_nd_id")), "_nd_id"
+        ).persist()
+        try:
+            kept_bands = kept_sigs.select(
+                "_nd_id", "_nd_sig", F.explode(band_arr).alias("b")
+            ).select("b.band_id", "b.band_hash", "_nd_id")
+            hint = (snap.latest_version(root) or 0) + 1
+            rel_rows = snap.write_table_data(
+                fresh, root, "stream", hint, partition_col=partition_col
+            )
+            rel_bands = snap.write_table_data(kept_bands, root, "bands", hint)
+            rel_sigs = snap.write_table_data(kept_sigs, root, "sigs", hint)
+            snap.commit_transaction(
+                root,
+                {"stream": [rel_rows], "bands": [rel_bands], "sigs": [rel_sigs]},
+                extra={"batch_ids": {ingest_id: batch_id}},
+                keep_prior=True,
+            )
+            return fresh.count()
+        finally:
+            kept_sigs.unpersist()
+    finally:
+        fresh.unpersist()
+
+
+def near_dup_snapshot_sink(
+    stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "url",
+    num_hashes: int = 32,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    partition_col: str | None = None,
+    trigger_once: bool = False,
+    ingest_id: str | None = None,
+):
+    """Streaming ingest with corpus-history NEAR-dup (MinHash+LSH) dedup —
+    the r4 exact-hash `dedup_snapshot_sink` extended with the band index
+    in the snapshot store, giving the streaming path the same near-dup
+    semantics the batch path has (verdict r4 stretch). Survivors, band
+    index and signatures commit atomically per micro-batch; replay-safe
+    via (ingest_id, batch_id). Returns the started query."""
+    iid = ingest_id if ingest_id is not None else _ingest_id(checkpoint_dir)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _near_dup_commit_batch(
+            batch_df, batch_id, root, text_col, id_col,
+            num_hashes, bands, jaccard_threshold,
+            partition_col, ingest_id=iid,
+        )
+
+    writer = stream.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -216,3 +216,89 @@ def test_scrub_non_ascii_adversarial_parity(spark):
         "i", scrub_text("text").alias("s")).collect()}
     assert one[0] == "<TOX> x"          # ASCII case-insensitive
     assert one[1] == "ſlurx y"          # no Unicode folding
+
+
+def test_map_extract_score_matches_struct_udf(spark):
+    """The mapInArrow hot path and the pandas struct UDF are the same
+    helpers behind different boundaries — byte-identical outputs, all
+    passthrough columns preserved, html consumed."""
+    from pyspark.sql import functions as F
+
+    from inspectehr_spark.pipeline.corpus import generate_pages
+    from inspectehr_spark.pipeline.models import (
+        extract_score_udf,
+        map_extract_score,
+    )
+
+    rows, _ = generate_pages(n=200, seed=11)
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).repartition(4)
+
+    got = map_extract_score(pages)
+    assert "html" not in got.columns
+    assert {"url", "warc_ts", "text", "lang"} <= set(got.columns)
+    got_rows = {
+        r["url"]: (r["text_x"], r["lang_pred"], r["perplexity"])
+        for r in got.collect()
+    }
+    want = {
+        r["url"]: (r["m"]["text_x"], r["m"]["lang_pred"], r["m"]["perplexity"])
+        for r in pages.select(
+            "url", extract_score_udf("html").alias("m")
+        ).collect()
+    }
+    assert got_rows == want
+
+
+# Injected moderation lists the chain must stay byte-deterministic over:
+# regex metacharacters, mixed case, multi-word phrase, unicode term,
+# term colliding with a PII replacement token.
+_INJECTED_LISTS = [
+    ("a+b", "bad.word", "evil*"),                       # metachars escaped
+    ("MiXeD", "UPPER", "lower"),                        # case handling
+    ("two words", "naïve", "EMAIL"),                    # phrase / unicode / collision
+    (),                                                 # empty list → stage omitted
+]
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=100))
+def test_scrub_injected_terms_byte_parity(spark, texts):
+    """r4 next-round #8: the scrub chain with an INJECTED term list (file /
+    arg path) keeps the ordered-chain byte-identity property — Spark JVM
+    regexp_replace vs the serial Python labeler — for every list shape a
+    real moderation file can contain; the default chain is unchanged."""
+    adversarial = [
+        "a+b x", "aab", "bad.word", "badXword", "EVIL** evil*", "mixed MIXED",
+        "two words apart", "naïve NAÏVE", "EMAIL mail@ex.org EMAIL",
+    ]
+    for terms in _INJECTED_LISTS:
+        chain = spec.build_scrub_chain(tox_terms=terms)
+        df = _batch(spark, list(texts) + adversarial)
+        got = {
+            r["i"]: r["s"]
+            for r in df.select(
+                "i", scrub_text("text", chain=chain).alias("s")
+            ).collect()
+        }
+        for i, t in enumerate(list(texts) + adversarial):
+            want = reference.scrub_serial_chain(t, chain)
+            assert got[i].encode() == want.encode(), (terms, repr(t))
+    # default chain unchanged by the refactor
+    assert spec.SCRUB_CHAIN == spec.build_scrub_chain()
+    assert spec.SCRUB_CHAIN[-1][1] == "<TOX>"
+
+
+def test_load_tox_terms_roundtrip(tmp_path, spark):
+    """File-injected terms (the run_pipeline --tox-terms path) land in the
+    chain and scrub; comments and blanks skipped."""
+    p = tmp_path / "terms.txt"
+    p.write_text("# moderation list\nfoozle\n\n  Barzle  \n", encoding="utf-8")
+    terms = spec.load_tox_terms(str(p))
+    assert terms == ("foozle", "Barzle")
+    chain = spec.build_scrub_chain(tox_terms=terms)
+    out = _batch(spark, ["a foozle and a BARZLE here"]).select(
+        scrub_text("text", chain=chain).alias("s")
+    ).first()["s"]
+    assert out == "a <TOX> and a <TOX> here"

@@ -289,3 +289,47 @@ def test_remote_checkpoint_identity_warns():
         warnings.simplefilter("error")      # local paths must stay silent
         local = _ingest_id(str(__import__("tempfile").mkdtemp()))
     assert local and not local.startswith("path-")
+
+
+def test_near_dup_snapshot_sink_minhash_history(spark, tmp_path_factory):
+    """r4 stretch: streaming near-dup dedup through the snapshot band
+    index. Near-dups (one token changed in a 40-token doc → est jaccard
+    ≈ .9) are dropped across AND within micro-batches; distinct docs
+    survive; no-shingle shorties pass through without entering the index;
+    bands/sigs commit in lockstep with the data; replay is a no-op."""
+    from inspectehr_spark.sources import snapshots as snap
+    from inspectehr_spark.streaming.quality_stream import _near_dup_commit_batch
+
+    root = str(tmp_path_factory.mktemp("nd_sink") / "tbl")
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(("XX" if i == 20 else f"tok{i}") for i in range(40))
+    near2 = " ".join(("YY" if i == 35 else f"tok{i}") for i in range(40))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    kw = dict(num_hashes=32, bands=16, jaccard_threshold=0.5)
+
+    b0 = spark.createDataFrame(
+        [("u1", base), ("u2", near), ("u3", "tiny")],
+        "url string, text string",
+    )
+    # u2 is a within-batch near-dup of u1 (keep-first by id); u3 has no
+    # 3-gram shingles and passes through
+    assert _near_dup_commit_batch(b0, 0, root, "text", "url", **kw) == 2
+    assert {r["url"] for r in snap.read_table(spark, root, "stream").collect()} == {"u1", "u3"}
+    # only the shingled survivor indexed: 16 bands, 1 sig
+    assert snap.read_table(spark, root, "bands").count() == 16
+    assert snap.read_table(spark, root, "sigs").count() == 1
+
+    b1 = spark.createDataFrame(
+        [("u4", near2), ("u5", other), ("u6", "tiny")],
+        "url string, text string",
+    )
+    # u4 near-dups the COMMITTED u1 via the band index; u5 and the
+    # shingle-less u6 survive
+    assert _near_dup_commit_batch(b1, 1, root, "text", "url", **kw) == 2
+    got = {r["url"] for r in snap.read_table(spark, root, "stream").collect()}
+    assert got == {"u1", "u3", "u5", "u6"}
+    assert snap.read_table(spark, root, "bands").count() == 32
+    assert snap.read_table(spark, root, "sigs").count() == 2
+    # crash replay of committed batch 1: no-op, index unchanged
+    assert _near_dup_commit_batch(b1, 1, root, "text", "url", **kw) == 0
+    assert snap.read_table(spark, root, "stream").count() == 4
