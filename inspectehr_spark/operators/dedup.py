@@ -540,3 +540,50 @@ def contamination_flags(
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def md5_minhash_signature(
+    df: DataFrame,
+    num_hashes: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """(id_col, _sig array<string>[num_hashes]) — MinHash signature with
+    ENGINE-REPLAYABLE hashes: h_i(gram) = md5(gram || '|i'), element =
+    lexicographic min over the doc's word n-grams, built in ONE aggregate
+    pass (accumulator = num_hashes running minima; each gram contributes
+    its salted md5s via zip_with/least). 'g' sorts after every hex digit,
+    so it is the identity for least(). Docs with < `ngram` tokens have no
+    shingles and are absent (same in the DuckDB replay).
+
+    This is the shared construction behind the `minhash_band_signature`
+    and `minhash_lsh_pairs` value oracles (the xxhash64 operators above
+    stay the scale path — one 64-bit hash per gram beats an md5 +
+    hex-slice). Single definition on purpose: the construction carries a
+    subtle trap — a `lambda g, i=i:` default-arg capture would be a
+    TWO-parameter lambda, which pyspark HOFs interpret as (element,
+    index); the index Column silently shadows the captured int. Hence the
+    nested-lambda form with the salt built from the bound index variable.
+    """
+    from inspectehr_spark.functions.textfns import word_ngrams
+
+    staged = df.withColumn(
+        "_toks", F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    )
+    staged = staged.withColumn(
+        "_grams", word_ngrams(F.col("_toks"), ngram)
+    ).filter(F.size("_grams") > 0)
+
+    def _md5s(g):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.md5(F.concat(g, F.lit("|"), i.cast("string"))),
+        )
+
+    sig_arr = F.aggregate(
+        F.col("_grams"),
+        F.array_repeat(F.lit("g"), num_hashes),
+        lambda acc, g: F.zip_with(acc, _md5s(g), lambda a, m: F.least(a, m)),
+    )
+    return staged.withColumn("_sig", sig_arr).select(id_col, "_sig")

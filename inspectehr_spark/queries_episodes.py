@@ -577,35 +577,13 @@ def q_minhash_band_signature(spark, sf_dir):
     band pipeline shape as dedup.minhash_lsh_duplicates (which uses
     xxhash64 — engine-specific, rows-only checked); this variant gives the
     dedup path a full DuckDB value oracle. Docs with < 3 tokens have no
-    shingles and are absent (both engines)."""
-    from inspectehr_spark.functions.textfns import word_ngrams
+    shingles and are absent (both engines). Signature construction (and
+    its HOF lambda-capture trap) lives in dedup.md5_minhash_signature,
+    shared with the `minhash_lsh_pairs` oracle."""
+    from inspectehr_spark.operators.dedup import md5_minhash_signature
 
     docs = _t(spark, sf_dir, "documents")
-    staged = docs.withColumn(
-        "_toks", F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    )
-    staged = staged.withColumn("_grams", word_ngrams(F.col("_toks"), 3)).filter(
-        F.size("_grams") > 0
-    )
-    # ONE aggregate pass (the simhash treatment): accumulator = 16 running
-    # minima, each gram contributes its 16 salted md5s via zip_with/least.
-    # 'g' sorts after every hex char, so it is the identity for least().
-    # NOTE: a `lambda g, i=i:` default-arg capture would be a TWO-parameter
-    # lambda, which pyspark HOFs interpret as (element, index) — the index
-    # Column silently shadows the captured int; hence the nested-lambda
-    # form with the salt built from the bound index variable.
-    def _md5s(g):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(MINHASH_NUM - 1)),
-            lambda i: F.md5(F.concat(g, F.lit("|"), i.cast("string"))),
-        )
-
-    sig_arr = F.aggregate(
-        F.col("_grams"),
-        F.array_repeat(F.lit("g"), MINHASH_NUM),
-        lambda acc, g: F.zip_with(acc, _md5s(g), lambda a, m: F.least(a, m)),
-    )
-    sig = staged.withColumn("_sig", sig_arr).select(
+    sig = md5_minhash_signature(docs, MINHASH_NUM).select(
         "doc_id",
         *[F.element_at("_sig", i + 1).alias(f"_h{i}") for i in range(MINHASH_NUM)],
     )

@@ -49,8 +49,13 @@ def q_pipeline_decisions(spark, sf_dir):
     checks = tuple(
         c for c in spec.CHECKS if c not in ("langid_agree", "perplexity")
     )
+    # Drop the raw crawl text BEFORE the mapInArrow boundary (run_pipeline
+    # does the same): it is a dead-weight passthrough there — serialized to
+    # Python and echoed back per row for data nothing downstream reads
+    # (decide/flags consume the re-extracted text_x).
     return decide(
-        failure_flags(flag_exact_duplicates(enrich(pages))), checks=checks
+        failure_flags(flag_exact_duplicates(enrich(pages.drop("text")))),
+        checks=checks,
     ).drop("p_date")
 
 

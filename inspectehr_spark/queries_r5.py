@@ -23,16 +23,22 @@ from pyspark.sql import functions as F
 
 from inspectehr_spark import ann
 from inspectehr_spark.operators import dedup
-from inspectehr_spark.queries_episodes import MINHASH_BANDS, MINHASH_NUM
 from inspectehr_spark.tables import table as _t
 
 # --------------------------------------------------------------------------
 # simhash_fingerprints — md5 split-half SimHash + bottom-k md5 fingerprint
 # --------------------------------------------------------------------------
 
+# Both engines run over text IS NOT NULL: the Spark operator's documented
+# null contract (null token lists → fp 0/0) has no SQL analog — unnest of
+# a NULL list emits no rows, so the DuckDB CTE would DROP null-text docs
+# while Spark emitted (0, 0) rows. The queries align the two engines by
+# excluding null text up front; the operator's null semantics stay
+# unit-tested (tests/test_operators.py).
 _SIMHASH_SIG_CTE = r"""
 toks AS (
-  SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents
+  SELECT doc_id, string_split_regex(text, '\s+') AS l
+  FROM documents WHERE text IS NOT NULL
 ),
 th AS (
   SELECT doc_id,
@@ -64,8 +70,9 @@ def q_simhash_fingerprints(spark, sf_dir):
     """64-bit SimHash (md5 split-half token hashes, one-pass vote
     aggregate) + bottom-8 md5 fingerprint per document — the replayable
     variant of dedup.with_simhash + textfns.fingerprint, giving the
-    sketch its full value oracle (was rows-only r1-r4)."""
-    docs = _t(spark, sf_dir, "documents")
+    sketch its full value oracle (was rows-only r1-r4). Null-text docs
+    are excluded on both sides (see _SIMHASH_SIG_CTE note)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     out = dedup.with_simhash_replayable(docs, text_col="text")
     staged = out.withColumn(
         "_md5", F.transform(F.split(F.col("text"), r"\s+"), lambda t: F.md5(t))
@@ -101,8 +108,9 @@ def q_simhash_hamming_pairs(spark, sf_dir):
     verify) over the replayable md5 split-half fingerprint — full value
     oracle (was rows-only r4). Threshold loosened as before: the corpus
     has no planted near-dups; operator exactness with constructed
-    near-dups stays unit-tested in tests/test_operators.py."""
-    docs = _t(spark, sf_dir, "documents")
+    near-dups stays unit-tested in tests/test_operators.py. Null-text
+    docs are excluded on both sides (see _SIMHASH_SIG_CTE note)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     pairs = dedup.simhash_hamming_pairs_replayable(
         docs, max_hamming=_SH_MAXHAM, chunks=_SH_CHUNKS, bucket_cap=_SH_CAP
     )
@@ -148,37 +156,15 @@ SQL_SIMHASH_HAMMING_PAIRS = _simhash_pairs_sql()
 # minhash_lsh_pairs — band-signature replay extended to the pair join
 # --------------------------------------------------------------------------
 
+# Sketch parameters match the xxhash64 registry query this oracle replaces
+# (queries_noracle r1-r4: num_hashes=32, bands=16 → 2 rows/band): candidate
+# probability at jaccard 0.5 is 1-(1-0.5^2)^16 ≈ 0.99. Reusing the
+# band-signature oracle's 16/4 sketch here would have silently collapsed
+# recall to ≈0.23 at the query's own threshold — the sketch geometry is
+# part of the query's semantics, not a free parameter.
+_MH_NUM, _MH_BANDS = 32, 16
 _MH_THRESHOLD, _MH_CAP = 0.5, 64
-_MH_PER_BAND = MINHASH_NUM // MINHASH_BANDS
-
-
-def _md5_minhash_sig(docs):
-    """(doc_id, _sig array<string>[MINHASH_NUM]) — the exact construction
-    of queries_episodes.q_minhash_band_signature: h_i(gram) =
-    md5(gram || '|i'), element = lexicographic min, one aggregate pass
-    ('g' sorts after every hex digit → identity for least). Docs with
-    < 3 tokens have no shingles and are absent (both engines)."""
-    from inspectehr_spark.functions.textfns import word_ngrams
-
-    staged = docs.withColumn(
-        "_toks", F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    )
-    staged = staged.withColumn("_grams", word_ngrams(F.col("_toks"), 3)).filter(
-        F.size("_grams") > 0
-    )
-
-    def _md5s(g):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(MINHASH_NUM - 1)),
-            lambda i: F.md5(F.concat(g, F.lit("|"), i.cast("string"))),
-        )
-
-    sig_arr = F.aggregate(
-        F.col("_grams"),
-        F.array_repeat(F.lit("g"), MINHASH_NUM),
-        lambda acc, g: F.zip_with(acc, _md5s(g), lambda a, m: F.least(a, m)),
-    )
-    return staged.withColumn("_sig", sig_arr).select("doc_id", "_sig")
+_MH_PER_BAND = _MH_NUM // _MH_BANDS
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -186,12 +172,13 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     (was rows-only r1-r4): the md5 band-signature replay
     (q_minhash_band_signature) extended through the banded self-join,
     hot-bucket cap and signature-agreement verification of
-    dedup.minhash_lsh_duplicates. est_jaccard = agreeing elements / 16 —
-    exact multiples of 1/16, binary-representable, so the hash compare
+    dedup.minhash_lsh_duplicates — same 32-hash / 16-band sketch as the
+    r1-r4 registry query. est_jaccard = agreeing elements / 32 — exact
+    multiples of 1/32 (2^-5), binary-representable, so the hash compare
     is ulp-safe. Threshold 0.5 as before (the corpus plants exact dups,
     not near-dups; constructed-near-dup exactness stays unit-tested)."""
     docs = _t(spark, sf_dir, "documents")
-    sig = _md5_minhash_sig(docs)
+    sig = dedup.md5_minhash_signature(docs, _MH_NUM)
     bands = F.array(
         *[
             F.struct(
@@ -203,7 +190,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
                     )
                 ).alias("band_hash"),
             )
-            for b in range(MINHASH_BANDS)
+            for b in range(_MH_BANDS)
         ]
     )
     banded = sig.select(
@@ -237,7 +224,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
                 F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda eq: eq
             )
         )
-        / F.lit(MINHASH_NUM)
+        / F.lit(_MH_NUM)
     ).alias("est_jaccard")
     return pairs.select("doc_id_a", "doc_id_b", est).filter(
         F.col("est_jaccard") >= _MH_THRESHOLD
@@ -247,17 +234,17 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 def _minhash_pairs_sql() -> str:
     hs = ",\n         ".join(
         f"list_min(list_transform(g, x -> md5(x || '|{i}'))) AS h{i}"
-        for i in range(MINHASH_NUM)
+        for i in range(_MH_NUM)
     )
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, CAST({b} AS BIGINT) AS band_id, "
         f"md5({' || '.join(f'h{b * _MH_PER_BAND + j}' for j in range(_MH_PER_BAND))})"
         f" AS band_hash FROM sig"
-        for b in range(MINHASH_BANDS)
+        for b in range(_MH_BANDS)
     )
     agree = " + ".join(
         f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
-        for i in range(MINHASH_NUM)
+        for i in range(_MH_NUM)
     )
     return f"""
 WITH toks AS (
@@ -292,11 +279,11 @@ pairs AS (
    AND a.doc_id < b.doc_id
 )
 SELECT p.doc_id_a, p.doc_id_b,
-       ({agree}) / {MINHASH_NUM}.0 AS est_jaccard
+       ({agree}) / {_MH_NUM}.0 AS est_jaccard
 FROM pairs p
 JOIN sig sa ON sa.doc_id = p.doc_id_a
 JOIN sig sb ON sb.doc_id = p.doc_id_b
-WHERE ({agree}) / {MINHASH_NUM}.0 >= {_MH_THRESHOLD}
+WHERE ({agree}) / {_MH_NUM}.0 >= {_MH_THRESHOLD}
 """
 
 
@@ -319,6 +306,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     multi-probe radius 1 replays as bit_count(xor(bucket, qbucket)) <= 1."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    if len(qv) != _LSH_DIM:
+        # The DuckDB oracle's hyperplanes are dim-64 literals baked at
+        # import (oracle_sql() must be static); ann.hyperplanes consumes
+        # dim*bits sequential PRNG draws, so a different embedding dim
+        # would bucket with DIFFERENT planes on the two sides and diverge
+        # silently. Fail loudly instead.
+        raise ValueError(
+            f"ann_lsh_topk oracle is baked for dim {_LSH_DIM}; embeddings "
+            f"table has dim {len(qv)} — regenerate SQL_ANN_LSH_TOPK"
+        )
     return ann.lsh_topk(emb, [float(x) for x in qv], k=_LSH_K, bits=_LSH_BITS)
 
 

@@ -53,6 +53,42 @@ class CommitConflict(RuntimeError):
     """Raised when `max_retries` successive commit attempts lost the race."""
 
 
+class CommitDataLost(RuntimeError):
+    """Raised BEFORE publishing when a commit's new data dirs were swept
+    by a `vacuum` that judged them orphaned (they aged past grace_sec
+    between the write and the commit — a crashed-and-resumed or very slow
+    writer). No manifest is published, so readers never see a broken
+    version; the committer still holds the source DataFrame and simply
+    rewrites the data and commits again. This pre-publish check is one
+    half of the writer↔vacuum arbitration — see `_touch_new_dirs` and
+    vacuum()'s contract."""
+
+
+def _touch_new_dirs(root: str, rels: list[str]) -> None:
+    """Pre-publish half of the writer↔vacuum arbitration: utime every dir
+    THIS commit introduces (prior dirs are continuously referenced, so
+    vacuum never touches them), then raise `CommitDataLost` — before any
+    manifest exists — if a dir is already gone.
+
+    The filesystem arbitrates the race exactly: if the touch lands BEFORE
+    a vacuum's claim-rename, the claim carries the fresh mtime and
+    vacuum's post-claim youth check hands the dir back untouched; if the
+    claim lands first, the touch raises ENOENT here and the writer
+    rewrites with no broken manifest ever published. Either way: loud
+    repair or automatic restore, never silent loss and never a duplicate
+    rewrite of restored data."""
+    for r in rels:
+        try:
+            os.utime(os.path.join(root, r))
+        except OSError:
+            raise CommitDataLost(
+                f"data dir {r} at {root} vanished before commit: a vacuum "
+                "swept it as an aged orphan (write→commit latency exceeded "
+                "the vacuum grace). No manifest was published — rewrite "
+                "the data and commit again."
+            ) from None
+
+
 def _manifest_dir(root: str) -> str:
     return os.path.join(root, _MANIFESTS)
 
@@ -160,14 +196,25 @@ def vacuum(root: str, grace_sec: float = 24 * 3600.0) -> list[str]:
     judged it orphaned — a crashed writer's dir age past the grace, then
     the writer resumes and commits it while vacuum is mid-sweep. So no
     candidate is rmtree'd directly: it is first RENAMED to a hidden
-    `.trash-*` name (atomic), the references are re-scanned, and a dir
-    that became referenced is renamed straight back — vacuum can never
-    PERMANENTLY remove referenced data, only flicker it for the µs
-    between the rename pair (a concurrent reader retries). Aged `.trash-*`
+    `.trash-*` name (atomic, mtime refreshed so a concurrent vacuum's
+    crashed-leftover sweep can't take the claim), the references are
+    re-scanned, and a dir that became referenced is renamed straight back
+    (a concurrent reader retries the µs flicker). Aged `.trash-*`
     leftovers from a vacuum that crashed between rename and delete are
     swept too (they are never referenced — manifests never name trash).
     The mtime grace remains the primary guard for in-flight
     written-but-uncommitted dirs, which no manifest can vouch for yet.
+
+    Contract: referenced data is never lost silently, and a writer never
+    publishes a manifest naming a swept dir. A commit whose
+    write→publish latency stays under `grace_sec` is never even a sweep
+    candidate (the Iceberg remove-orphan-files `older_than` contract).
+    A slower writer is arbitrated by the filesystem: its pre-publish
+    `_touch_new_dirs` utime either lands before our claim-rename (the
+    claim then carries a young mtime and the post-claim youth check
+    restores the dir) or after it (the touch raises and the writer gets
+    `CommitDataLost` BEFORE any manifest exists, rewrites, retries) —
+    loud repair or automatic restore, never silent loss.
     Returns the deleted manifest-relative paths."""
     import shutil
 
@@ -205,10 +252,31 @@ def vacuum(root: str, grace_sec: float = 24 * 3600.0) -> list[str]:
                 os.rename(path, trash)     # atomic claim
             except OSError:
                 continue                   # raced a concurrent vacuum
+            # Writer arbitration: rename preserves the dir's mtime, so a
+            # committer's pre-publish `_touch_new_dirs` utime that landed
+            # BEFORE our claim shows up here as a young claim — that dir
+            # is being committed right now; hand it back untouched. (A
+            # touch attempted AFTER our claim raises ENOENT on the
+            # writer's side instead — no publish happens.)
+            try:
+                young = time.time() - os.path.getmtime(trash) < grace_sec
+            except OSError:
+                young = False
+            if young:
+                os.rename(trash, path)
+                continue
+            # Refresh the claim's (aged) mtime so a CONCURRENT vacuum's
+            # crashed-leftover sweep above can't rmtree it out from under
+            # the restore window — only a genuinely crashed vacuum's
+            # leftover ever ages into that sweep.
+            try:
+                os.utime(trash)
+            except OSError:
+                pass                       # claim gone: restore will raise
             if rel in _referenced_dirs(root):
                 os.rename(trash, path)     # late commit won: restore intact
                 continue
-            shutil.rmtree(trash)
+            shutil.rmtree(trash, ignore_errors=True)
             deleted.append(rel)
     return sorted(deleted)
 
@@ -395,6 +463,7 @@ def _commit(root: str, operation: str, new_dirs: list[str], keep_prior: bool,
             manifest["tables"] = mtables
         if mextra is not None:
             manifest["extra"] = mextra
+        _touch_new_dirs(root, new_dirs)
         got = _publish(root, cur, manifest)
         if got is not None:
             return got
@@ -508,6 +577,9 @@ def commit_transaction(
             "extra": ex,
             "dirs": dirs,
         }
+        _touch_new_dirs(
+            root, [r for rels in tables_rel.values() for r in rels]
+        )
         got = _publish(root, cur, manifest)
         if got is not None:
             return got

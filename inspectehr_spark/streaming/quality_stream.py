@@ -399,9 +399,20 @@ def _near_dup_commit_batch(
     jaccard_threshold: float,
     partition_col: str | None = None,
     ingest_id: str = "default",
+    bucket_cap: int = 64,
 ) -> int:
     """Commit one micro-batch with corpus-history NEAR-dup (MinHash band)
     dedup; returns surviving rows (0 when skipped/empty).
+
+    Hot-bucket backstop (`bucket_cap`, same role as in every batch band
+    join): both the batch's banded rows and the history band index are
+    capped per (band_id, band_hash) bucket — ROW_NUMBER over the id order
+    — before joining, so one boilerplate mega-bucket (templated/empty
+    text, or a hot historical band accumulated across batches) can never
+    turn a micro-batch into an O(n²) self-join or stall the stream. Docs
+    beyond the cap in a bucket can miss candidates through that bucket
+    only — the documented recall trade every capped band join makes; the
+    index itself is written UNCAPPED so history stays complete.
 
     The streaming twin of the batch MinHash+LSH path
     (operators/dedup.minhash_lsh_duplicates): the snapshot root carries
@@ -433,16 +444,24 @@ def _near_dup_commit_batch(
     )
     from inspectehr_spark.sources import snapshots as snap
 
+    from pyspark.sql import Window
+
     if _replayed(snap.latest_extra(root), ingest_id, batch_id):
         return 0
     rows_per_band = num_hashes // bands
     spark = batch_df.sparkSession
 
+    # persist: the shingle + num_hashes×xxhash64 signature pass is the
+    # dominant per-batch cost, and it feeds FOUR consumers (history join,
+    # both sides of the within-batch self-join, kept survivor signatures)
+    # — uncached it would recompute per consumer.
     sigs = with_minhash_signature(
         with_shingles(batch_df.select(F.col(id_col).alias("_nd_id"), text_col),
                       text_col=text_col),
         num_hashes=num_hashes,
-    ).filter(F.size("shingles") > 0).select("_nd_id", F.col("sig").alias("_nd_sig"))
+    ).filter(F.size("shingles") > 0).select(
+        "_nd_id", F.col("sig").alias("_nd_sig")
+    ).persist()
     band_arr = F.array(
         *[
             F.struct(
@@ -457,6 +476,10 @@ def _near_dup_commit_batch(
     banded = sigs.select(
         "_nd_id", "_nd_sig", F.explode(band_arr).alias("b")
     ).select("_nd_id", "_nd_sig", "b.band_id", "b.band_hash")
+    _wb = Window.partitionBy("band_id", "band_hash").orderBy("_nd_id")
+    banded = banded.withColumn("_rn", F.row_number().over(_wb)).filter(
+        F.col("_rn") <= bucket_cap
+    ).drop("_rn")
 
     est = (
         F.size(
@@ -468,12 +491,33 @@ def _near_dup_commit_batch(
         / F.lit(num_hashes)
     )
 
+    try:
+        return _near_dup_join_and_commit(
+            batch_df, batch_id, root, id_col, banded, sigs, band_arr, est,
+            jaccard_threshold, bucket_cap, partition_col, ingest_id, spark,
+        )
+    finally:
+        sigs.unpersist()
+
+
+def _near_dup_join_and_commit(
+    batch_df, batch_id, root, id_col, banded, sigs, band_arr, est,
+    jaccard_threshold, bucket_cap, partition_col, ingest_id, spark,
+) -> int:
+    from pyspark.sql import Window
+
+    from inspectehr_spark.sources import snapshots as snap
+
     # --- history near-dups: batch bands ⋈ committed band index ---
     losers = None
     try:
         hist_bands = snap.read_table(spark, root, "bands").withColumnRenamed(
             "_nd_id", "_hist_id"
         )
+        _wh = Window.partitionBy("band_id", "band_hash").orderBy("_hist_id")
+        hist_bands = hist_bands.withColumn(
+            "_rn", F.row_number().over(_wh)
+        ).filter(F.col("_rn") <= bucket_cap).drop("_rn")
         hist_sigs = snap.read_table(spark, root, "sigs").select(
             F.col("_nd_id").alias("_hist_id"), F.col("_nd_sig").alias("_hist_sig")
         )
@@ -554,6 +598,7 @@ def near_dup_snapshot_sink(
     partition_col: str | None = None,
     trigger_once: bool = False,
     ingest_id: str | None = None,
+    bucket_cap: int = 64,
 ):
     """Streaming ingest with corpus-history NEAR-dup (MinHash+LSH) dedup —
     the r4 exact-hash `dedup_snapshot_sink` extended with the band index
@@ -567,7 +612,7 @@ def near_dup_snapshot_sink(
         _near_dup_commit_batch(
             batch_df, batch_id, root, text_col, id_col,
             num_hashes, bands, jaccard_threshold,
-            partition_col, ingest_id=iid,
+            partition_col, ingest_id=iid, bucket_cap=bucket_cap,
         )
 
     writer = stream.writeStream.foreachBatch(commit_batch).option(

@@ -382,11 +382,13 @@ def test_vacuum_races_concurrent_commits_without_loss(spark, tmp_path):
         snap.read_snapshot(spark, root, version=v).count()   # all readable
 
 
-def test_vacuum_restores_dir_committed_mid_sweep(spark, tmp_path, monkeypatch):
-    """The crashed-writer-resumes race: a dir ages past the grace as an
-    orphan, vacuum claims it, and the writer's commit lands BETWEEN the
-    claim and the delete. The trash-rename + re-scan must restore the dir
-    untouched instead of deleting now-referenced data."""
+def test_vacuum_commit_after_claim_fails_loudly(spark, tmp_path, monkeypatch):
+    """The crashed-writer-resumes race, claim-first interleaving: a dir
+    ages past the grace as an orphan, vacuum claims it, and the writer's
+    commit attempt lands AFTER the claim. The writer's pre-publish
+    `_touch_new_dirs` must raise `CommitDataLost` BEFORE any manifest is
+    published (no broken version, writer rewrites), and vacuum deletes
+    the genuinely-unreferenced orphan."""
     import shutil
 
     root = str(tmp_path / "tbl")
@@ -397,25 +399,62 @@ def test_vacuum_restores_dir_committed_mid_sweep(spark, tmp_path, monkeypatch):
     os.utime(path, (0, 0))
 
     real_rename = os.rename
-    fired = {"n": 0}
+    outcome = {}
 
     def rename_with_late_commit(src, dst):
         real_rename(src, dst)
-        # the writer resumes and commits rel EXACTLY after vacuum's claim
-        if ".trash-" in str(dst) and fired["n"] == 0:
-            fired["n"] = 1
-            snap._commit(root, "append", [rel], keep_prior=True)
+        # the writer resumes and tries to commit rel EXACTLY after the claim
+        if ".trash-" in str(dst) and "err" not in outcome:
+            try:
+                snap._commit(root, "append", [rel], keep_prior=True)
+                outcome["err"] = None
+            except snap.CommitDataLost as e:
+                outcome["err"] = e
 
     monkeypatch.setattr(snap.os, "rename", rename_with_late_commit)
     deleted = snap.vacuum(root, grace_sec=0.0)
     monkeypatch.setattr(snap.os, "rename", real_rename)
 
-    assert deleted == []                       # restored, not deleted
-    assert os.path.isdir(path)
-    assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2, 50, 51, 52]
+    assert isinstance(outcome["err"], snap.CommitDataLost)
+    assert deleted == [rel]                    # true orphan: swept
+    assert not os.path.exists(path)
+    assert snap.latest_version(root) == 1      # no broken manifest published
+    assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2]
     # and a crashed vacuum's aged trash leftover is itself reclaimed
+    keep = os.path.join(root, snap._read_manifest(root, 1)["dirs"][0])
     trash = os.path.join(root, "data", ".trash-deadbeef")
-    shutil.copytree(path, trash)
+    shutil.copytree(keep, trash)
     os.utime(trash, (0, 0))
     assert snap.vacuum(root, grace_sec=0.0) == []   # trash swept, not listed
     assert not os.path.exists(trash)
+
+
+def test_vacuum_restores_dir_touched_before_claim(spark, tmp_path, monkeypatch):
+    """Touch-first interleaving: the writer's pre-publish utime lands
+    between vacuum's aged-scan and its claim-rename. The claim then
+    carries a young mtime and vacuum's post-claim youth check must hand
+    the dir back untouched; the writer's commit succeeds normally."""
+    root = str(tmp_path / "tbl")
+    snap.append(_df(spark, 0, 3), root)
+    rel = snap._write_data(_df(spark, 50, 53), root, 99, None)
+    path = os.path.join(root, rel)
+    os.utime(path, (0, 0))                     # aged at scan time
+
+    real_rename = os.rename
+    fired = {"n": 0}
+
+    def rename_after_writer_touch(src, dst):
+        # the writer's _touch_new_dirs utime lands JUST before the claim
+        if ".trash-" in str(dst) and fired["n"] == 0:
+            fired["n"] = 1
+            os.utime(src)
+        real_rename(src, dst)
+
+    monkeypatch.setattr(snap.os, "rename", rename_after_writer_touch)
+    deleted = snap.vacuum(root, grace_sec=3600.0)
+    monkeypatch.setattr(snap.os, "rename", real_rename)
+
+    assert deleted == []                       # young claim: restored
+    assert os.path.isdir(path)
+    snap._commit(root, "append", [rel], keep_prior=True)   # publish succeeds
+    assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2, 50, 51, 52]
