@@ -36,6 +36,11 @@ _DRIVER_PRIORITY = [
     "embedding_near_dup",
     # snapshot commit protocol + scratch lifecycle changed in r5
     "decisions_history",
+    # NEW in r5 — corpus segment curation + profiling (queries_r5b.py)
+    "dedup_across_docs",
+    "boilerplate_scrub",
+    "shingle_dup_coverage",
+    "corpus_top_ngrams",
     # last driver-checked in r3 — the veterans, oldest rows first
     "pricing_summary",
     "nation_revenue",

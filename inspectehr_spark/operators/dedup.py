@@ -587,3 +587,70 @@ def md5_minhash_signature(
         lambda acc, g: F.zip_with(acc, _md5s(g), lambda a, m: F.least(a, m)),
     )
     return staged.withColumn("_sig", sig_arr).select(id_col, "_sig")
+
+
+def shingle_dup_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicate-coverage metric (the RefinedWeb §5 "exact
+    substring" coverage shape at shingle granularity): the fraction of
+    each document's DISTINCT word n-gram shingles that also occur in at
+    least one OTHER document. Returns (id_col, shingles_distinct,
+    shingles_shared, dup_coverage) with one row per input document —
+    documents too short to form a single n-gram report (0, 0, 0.0).
+
+    Scale shape (10^12 docs): tokens and grams are staged projections
+    (module HOF rule), the per-doc distinct runs on an array<long> of
+    xxhash64 gram hashes (primitive-type array_distinct fast path — the
+    string variant is the documented O(n^2) trap), and every exchange is
+    keyed by the 8-byte gram hash: explode -> groupBy(gh) doc-frequency
+    (two-phase partial agg) -> join back on gh (reuses the agg's
+    partitioning) -> groupBy(id). No document text ever enters a shuffle
+    key.
+
+    64-bit key note: this is a METRIC, not survivorship — a hash merge
+    biases coverage by at most birthday(#distinct grams)/2^64 and needs no
+    128-bit pair; the survivorship paths (exact_duplicates,
+    dedup_segments) keep the salt-first pair rule.
+
+    Reference analog: none (R/evaluate_duplication.R flags coincident
+    keys only); beyond-reference web-pipeline set, SURVEY §8."""
+    from inspectehr_spark.functions.textfns import word_ngrams
+
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_toks")
+    )
+    staged = staged.withColumn("_grams", word_ngrams(F.col("_toks"), n))
+    staged = staged.withColumn(
+        "_gh", F.array_distinct(F.transform("_grams", lambda g: F.xxhash64(g)))
+    )
+    g = staged.select(F.col(id_col), F.explode("_gh").alias("gh"))
+    freq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("gdf"))
+    cov = (
+        g.join(freq, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("shingles_distinct"),
+            F.sum((F.col("gdf") >= 2).cast("long")).alias("shingles_shared"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(cov, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("shingles_distinct", F.lit(0)).alias("shingles_distinct"),
+            F.coalesce("shingles_shared", F.lit(0)).alias("shingles_shared"),
+            F.when(
+                F.coalesce("shingles_distinct", F.lit(0)) > 0,
+                F.round(
+                    F.col("shingles_shared") / F.col("shingles_distinct"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_coverage"),
+        )
+    )

@@ -839,3 +839,55 @@ def test_ngram_jaccard_short_docs_zero(spark):
     }
     assert got[(1, 2)] == 0.0     # both empty
     assert got[(1, 3)] == 0.0     # one empty, one not
+
+
+def test_scrub_frequent_segments_planted(spark):
+    """Boilerplate = segments in >= min_docs DISTINCT docs: 'tiny' (docs
+    1, 2, 3) scrubs everywhere; 'big cat sat.' repeats only within doc 1
+    so it survives (within-doc repetition is dedup_segments' job, not
+    boilerplate's). Doc 3 loses every segment but still appears, with an
+    empty rebuild."""
+    from inspectehr_spark.operators.webrules import scrub_frequent_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big cat sat.\nbig cat sat.\ntiny\nthe dog ran far away."),
+            (2, "tiny\nnew line here."),
+            (3, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_frequent_segments(
+            docs, "doc_id", "text", sep="\n", min_docs=2
+        ).collect()
+    }
+    assert out[1]["scrubbed"] == "big cat sat.\nbig cat sat.\nthe dog ran far away."
+    assert (out[1]["lines_total"], out[1]["lines_kept"]) == (4, 3)
+    assert out[2]["scrubbed"] == "new line here."
+    assert (out[2]["lines_total"], out[2]["lines_kept"]) == (2, 1)
+    assert out[3]["scrubbed"] == ""
+    assert (out[3]["lines_total"], out[3]["lines_kept"]) == (1, 0)
+
+
+def test_shingle_dup_coverage_planted(spark):
+    """Known-answer coverage at n=2: 'a b' is shared (docs 1, 2, 4),
+    'b c' / 'b x' / 'b a' are singletons; within-doc gram repetition
+    (doc 4) counts once; a doc too short for any gram reports (0, 0,
+    0.0) rather than vanishing."""
+    from inspectehr_spark.operators.dedup import shingle_dup_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x"), (3, "z"), (4, "a b a b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in shingle_dup_coverage(docs, "doc_id", "text", n=2).collect()
+    }
+    for d in (1, 2, 4):
+        assert (out[d]["shingles_distinct"], out[d]["shingles_shared"]) == (2, 1)
+        assert out[d]["dup_coverage"] == 0.5
+    assert (out[3]["shingles_distinct"], out[3]["shingles_shared"]) == (0, 0)
+    assert out[3]["dup_coverage"] == 0.0

@@ -241,3 +241,35 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
 
     for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "text#" not in m, m
+
+
+def test_boilerplate_scrub_broadcast_and_hash_keyed(spark, sf_dir):
+    """The frequent-segment set joins back via BROADCAST (the corpus side
+    sees zero join exchange), and no exchange is keyed on raw segment
+    text — only the xxhash64 pair and the doc id."""
+    import re
+
+    fn, _ = QUERIES["boilerplate_scrub"]
+    df = fn(spark, sf_dir)
+    assert inspect.has_broadcast_join(df)
+    assert not inspect.has_cartesian(df)
+    plan = inspect.formatted_plan(df)
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        if "xxhash64" in m:
+            continue
+        assert "seg#" not in m, m
+
+
+def test_shingle_dup_coverage_hash_keyed(spark, sf_dir):
+    """Every exchange in the coverage metric is keyed by the 8-byte gram
+    hash or the doc id — gram text never partitions."""
+    import re
+
+    fn, _ = QUERIES["shingle_dup_coverage"]
+    plan = inspect.formatted_plan(fn(spark, sf_dir))
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = [a.split("#")[0].strip() for a in m.split(",")]
+        for k in keys:
+            if k.isdigit():  # trailing numPartitions operand
+                continue
+            assert k in ("gh", "doc_id", "_gh"), (k, m)
