@@ -41,6 +41,10 @@ _DRIVER_PRIORITY = [
     "boilerplate_scrub",
     "shingle_dup_coverage",
     "corpus_top_ngrams",
+    # NEW in r5 — domain/URL provenance curation (queries_r5c.py)
+    "domain_quality_profile",
+    "url_normalize",
+    "domain_tfidf_terms",
     # last driver-checked in r3 — the veterans, oldest rows first
     "pricing_summary",
     "nation_revenue",

@@ -1,0 +1,119 @@
+"""Domain-level corpus curation: per-domain quality profiles and
+discriminative-term (tf-idf) summaries.
+
+Web-scale pipelines act on DOMAINS, not just documents: a domain whose
+pages are short, repetitive, or near-identical is dropped wholesale
+(the FineWeb / C4 practice of blocklisting whole hosts). Both operators
+here aggregate a document table keyed by a `domain` column.
+
+Scale shapes (10^12 docs, ~10^8 domains):
+- `domain_profile`: one exchange keyed by md5(text) (128-bit — collision
+  odds negligible, so the corpus-wide duplicate count is exact) for the
+  window, then one ordinary partial-aggregated groupBy on the domain key.
+  Domains are ~4 orders of magnitude fewer than docs, so the second
+  shuffle is small; per-domain row counts are bounded by the biggest
+  host, which AQE skew-split handles.
+- `tfidf_top_terms`: explode → partial-agg on (domain, term) — the big
+  shuffle, on short bounded keys — then a term-keyed document-frequency
+  join and a broadcast 1-row scalar for the domain count (never a
+  window-over-() single-partition collapse). Final top-k is a
+  row_number window partitioned by domain over vocabulary-sized rows.
+
+Reference analog: none (inspectEHR aggregates per-site via
+R/report.R:40-77 `total_unit_admissions`; the tf-idf summary is the
+beyond-reference web-pipeline set, SURVEY §8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def domain_profile(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+    short_chars: int = 280,
+    flag_avg_chars: float = 290.0,
+    flag_dup_rate: float = 0.2,
+) -> DataFrame:
+    """Per-domain quality profile with a drop-flag.
+
+    Columns: n_docs, n_langs, avg_chars (round 4), short_frac (docs below
+    `short_chars`, round 6), dup_docs / dup_rate (corpus-wide EXACT-text
+    duplicates attributed to the domain, round 6), flagged (avg_chars
+    below threshold OR dup_rate above threshold — both compared on the
+    ROUNDED value so the oracle decides ties identically).
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    d = df.withColumn("_dup", (F.count(F.lit(1)).over(w) >= 2).cast("int"))
+    avg_chars = F.round(F.avg(chars_col), 4)
+    dup_rate = F.round(F.sum("_dup") / F.count(F.lit(1)), 6)
+    prof = d.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        avg_chars.alias("avg_chars"),
+        F.round(
+            F.sum((F.col(chars_col) < short_chars).cast("int")) / F.count(F.lit(1)), 6
+        ).alias("short_frac"),
+        F.sum("_dup").cast("long").alias("dup_docs"),
+        dup_rate.alias("dup_rate"),
+    )
+    return prof.withColumn(
+        "flagged",
+        (F.col("avg_chars") < flag_avg_chars) | (F.col("dup_rate") > flag_dup_rate),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k discriminative whitespace terms per domain by tf-idf.
+
+    tf = term occurrences / domain token total; idf = ln((1+N)/(1+df))+1
+    (smoothed, sklearn convention) over N = distinct domains, df =
+    domains containing the term. Score rounded to 6 dp BEFORE ranking so
+    row_number's (score desc, term asc) order is a total order the
+    DuckDB oracle reproduces bit-for-bit.
+    """
+    toks = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tc = toks.groupBy("domain", "term").agg(F.count(F.lit(1)).alias("tf_cnt"))
+    tot = tc.groupBy("domain").agg(F.sum("tf_cnt").alias("tok_total"))
+    dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
+    n_dom = df.agg(F.countDistinct(domain_col).alias("n_domains"))
+
+    scored = (
+        tc.join(tot, "domain")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_dom))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("tf_cnt") / F.col("tok_total"))
+                * (
+                    F.log(
+                        (1.0 + F.col("n_domains")) / (1.0 + F.col("term_df"))
+                    )
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("domain", "term", "score", F.col("rank").cast("long").alias("rank"))
+    )
