@@ -30,6 +30,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def filter_blocked_domains(
+    df: DataFrame,
+    domain_col: str = "domain",
+    blocklist: tuple[str, ...] = (),
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Host-blocklist filter with subdomain semantics: a row is blocked
+    when its domain equals a blocked entry OR is a dot-subdomain of one
+    ('ads.tracker.example' matches blocked 'tracker.example').
+
+    Scale shape: the domain's dot-suffix set (bounded by label count,
+    ~5) is built per row and tested with `arrays_overlap` against the
+    LITERAL blocklist array — a pure zero-shuffle projection + filter,
+    no join at all; at 10^12 rows this is scan-speed. For a blocklist
+    too large to inline (>~10^4 entries), explode the suffixes and
+    broadcast-anti-join a blocklist table instead — same suffix trick,
+    one broadcast, still no wide exchange.
+
+    With `keep_col` set, rows are kept and annotated (True = blocked)
+    instead of filtered — the audit variant.
+    """
+    labels = F.split(F.col(domain_col), r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    blocked = F.arrays_overlap(
+        suffixes, F.array(*[F.lit(b) for b in blocklist])
+    ) if blocklist else F.lit(False)
+    if keep_col is not None:
+        return df.withColumn(keep_col, blocked)
+    return df.filter(~blocked)
+
+
 def domain_profile(
     df: DataFrame,
     domain_col: str = "source",

@@ -106,6 +106,112 @@ def test_tfidf_top_terms_known_answer(spark):
     assert math.isclose(common_d1["score"], 0.5)
 
 
+def test_filter_blocked_domains(spark):
+    from inspectehr_spark.operators.domains import filter_blocked_domains
+
+    rows = [
+        (1, "tracker.example"),          # exact block
+        (2, "ads.tracker.example"),      # subdomain of a blocked entry
+        (3, "example"),                  # suffix label of a blocked entry — NOT blocked
+        (4, "nottracker.example"),       # string suffix but not a dot-suffix
+        (5, "news.site"),                # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    bl = ("tracker.example", "spam.net")
+    kept = {r["doc_id"] for r in filter_blocked_domains(df, "domain", bl).collect()}
+    assert kept == {3, 4, 5}
+    ann = {
+        r["doc_id"]: r["blocked"]
+        for r in filter_blocked_domains(df, "domain", bl, keep_col="blocked").collect()
+    }
+    assert ann == {1: True, 2: True, 3: False, 4: False, 5: False}
+    # pure projection: no exchange in the plan
+    plan = (
+        filter_blocked_domains(df, "domain", bl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def _ref_url_parts(url):
+    """Serial reference for the urlfns contract, built on urllib.parse."""
+    import re
+    from urllib.parse import urlsplit
+
+    sp = urlsplit(url)
+    scheme = sp.scheme.lower()
+    host = sp.hostname or ""
+    path = sp.path
+    q = sp.query
+    q = re.sub(r"utm_[a-z]+=[^&]*&", "", q)
+    q = re.sub(r"&?utm_[a-z]+=[^&]*", "", q)
+    return {
+        "scheme": scheme,
+        "host": host,
+        "regdom": re.sub(r"^www\.", "", host),
+        "path": path,
+        "q": q,
+        "canon": f"{scheme}://{host}{path}" + (f"?{q}" if q else ""),
+    }
+
+
+def test_urlfns_property_vs_urllib(spark):
+    """parse_url-based extraction agrees with urllib.parse on generated
+    scheme://host[/path][?query][#fragment] URLs (the corpus shapes)."""
+    import itertools
+
+    from hypothesis import given, settings, strategies as st
+
+    label = st.text(alphabet="abcdefgzXYZ0129", min_size=1, max_size=6)
+    # Final host label must start with a letter: java.net.URI (behind
+    # Spark's parse_url) rejects hostnames whose rightmost label leads
+    # with a digit (returns NULL host), while urllib accepts them. Real
+    # DNS names satisfy this, so the contract is scoped to them.
+    last_label = st.tuples(
+        st.sampled_from("abcdefgzXYZ"), st.text(alphabet="abcdefgzXYZ0129", max_size=5)
+    ).map("".join)
+    pval = st.text(alphabet="abc012", min_size=0, max_size=5)
+    params = st.lists(
+        st.tuples(
+            st.sampled_from(["utm_source", "utm_medium", "utm_campaign", "ref", "id"]),
+            pval,
+        ),
+        min_size=0,
+        max_size=4,
+    )
+    urls_strategy = st.tuples(
+        st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+        st.lists(label, max_size=3),  # leading host labels (any shape)
+        last_label,  # rightmost label: letter-first (DNS shape)
+        st.lists(label, min_size=0, max_size=3),  # path segments
+        params,
+        st.sampled_from(["", "#frag", "#s-2"]),
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(urls_strategy, min_size=1, max_size=60))
+    def run(batch):
+        urls = []
+        for scheme, hlabels, hlast, psegs, ps, frag in batch:
+            host = ".".join([*hlabels, hlast])
+            path = "".join(f"/{s}" for s in psegs)
+            query = "&".join(f"{k}={v}" for k, v in ps)
+            urls.append(
+                f"{scheme}://{host}{path}" + (f"?{query}" if query else "") + frag
+            )
+        urls = sorted(set(urls))
+        got = _url_rows(spark, urls)
+        for u in urls:
+            want = _ref_url_parts(u)
+            r = got[u]
+            for k in ("scheme", "host", "regdom", "path", "q", "canon"):
+                assert r[k] == want[k], (u, k, r[k], want[k])
+
+    run()
+
+
 def test_url_normalize_plan_zero_shuffle(spark, sf_dir):
     from inspectehr_spark.queries import QUERIES
 
