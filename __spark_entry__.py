@@ -45,6 +45,7 @@ _DRIVER_PRIORITY = [
     "domain_quality_profile",
     "url_normalize",
     "domain_tfidf_terms",
+    "blocked_domain_audit",
     # last driver-checked in r3 — the veterans, oldest rows first
     "pricing_summary",
     "nation_revenue",

@@ -1,7 +1,7 @@
 """Round-5 extension registry (c): domain/URL-level provenance curation,
 each with a full DuckDB value oracle.
 
-Three queries over `documents` (`source` is the domain key — the fixture
+Four queries over `documents` (`source` is the domain key — the fixture
 has no URL column, so url_normalize synthesises URLs DETERMINISTICALLY
 from (doc_id, source, lang) with the same expression on both engines;
 no external data):
@@ -13,6 +13,8 @@ no external data):
   utm-strip canonicalisation, all native expressions (functions/urlfns).
 - domain_tfidf_terms     — top-3 discriminative terms per domain by
   smoothed tf-idf, ranked on the ROUNDED score (total order).
+- blocked_domain_audit   — host-blocklist verdict per doc with subdomain
+  (dot-suffix) semantics, zero-shuffle (operators/domains).
 
 Reference analog: the per-site rollup R/report.R:40-77; URL/tf-idf are
 the beyond-reference web-pipeline set (SURVEY §8).
@@ -187,8 +189,55 @@ SELECT domain, term, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
 """
 
 
+_BLOCKLIST = (
+    # exact + subdomain semantics: blocks both srcN.example.com and
+    # www.srcN.example.com for N in {3, 7}
+    "src3.example.com",
+    "src7.example.com",
+    # exact-only on the www host: bare src11.example.com must survive
+    "www.src11.example.com",
+    # string-tail of src4.example.com but NOT a dot-suffix: must block nothing
+    "rc4.example.com",
+)
+
+
+def q_blocked_domain_audit(spark, sf_dir):
+    """operators/domains.filter_blocked_domains (audit variant) over the
+    synthesised URL hosts: dot-suffix set built per row with
+    transform/slice, tested against the LITERAL blocklist via
+    arrays_overlap — a pure zero-shuffle projection, no join; the
+    100-TB-safe shape for any blocklist small enough to inline."""
+    from inspectehr_spark.functions import urlfns as U
+    from inspectehr_spark.operators.domains import filter_blocked_domains
+
+    d = _with_urls(spark, sf_dir).select(
+        "doc_id", U.url_host("url").alias("host")
+    )
+    return filter_blocked_domains(d, "host", _BLOCKLIST, keep_col="blocked")
+
+
+# DuckDB replay: dot-suffix membership is exact-equality OR a '%.'-anchored
+# LIKE per entry ('.' and '%' in entries are literal here; hosts contain no
+# LIKE metacharacters by construction).
+_BLOCK_PRED = " OR ".join(
+    f"host = '{b}' OR host LIKE '%.{b}'" for b in _BLOCKLIST
+)
+
+SQL_BLOCKED_DOMAIN_AUDIT = rf"""
+WITH {_URL_CTE},
+h AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+           AS host
+  FROM u
+)
+SELECT doc_id, host, ({_BLOCK_PRED}) AS blocked FROM h
+"""
+
+
 R5C_QUERIES = {
     "domain_quality_profile": (q_domain_quality_profile, SQL_DOMAIN_QUALITY_PROFILE),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "domain_tfidf_terms": (q_domain_tfidf_terms, SQL_DOMAIN_TFIDF_TERMS),
+    "blocked_domain_audit": (q_blocked_domain_audit, SQL_BLOCKED_DOMAIN_AUDIT),
 }
