@@ -44,9 +44,9 @@ def filter_blocked_domains(
     ~5) is built per row and tested with `arrays_overlap` against the
     LITERAL blocklist array — a pure zero-shuffle projection + filter,
     no join at all; at 10^12 rows this is scan-speed. For a blocklist
-    too large to inline (>~10^4 entries), explode the suffixes and
-    broadcast-anti-join a blocklist table instead — same suffix trick,
-    one broadcast, still no wide exchange.
+    too large to inline (>~10^4 entries) use
+    `filter_blocked_domains_df` — same suffix semantics, broadcast
+    join shape, corpus still never shuffled.
 
     With `keep_col` set, rows are kept and annotated (True = blocked)
     instead of filtered — the audit variant.
@@ -63,6 +63,64 @@ def filter_blocked_domains(
     if keep_col is not None:
         return df.withColumn(keep_col, blocked)
     return df.filter(~blocked)
+
+
+def filter_blocked_domains_df(
+    df: DataFrame,
+    blocklist_df: DataFrame,
+    domain_col: str = "domain",
+    keep_col: str | None = None,
+    max_broadcast_hits: int = 5_000_000,
+) -> DataFrame:
+    """The large-blocklist variant of `filter_blocked_domains`: the
+    blocklist is a one-column DataFrame (first column = blocked host)
+    too big to inline as a literal array (real host blocklists run to
+    millions of entries) but far smaller than the corpus.
+
+    Same dot-suffix semantics, shaped so the CORPUS is never shuffled
+    (the strategy `pipeline/run.py` uses for its broadcast dup-verdict):
+
+    1. distinct domains — the only shuffle, on a single short column
+       with map-side combine (~10^8 rows from 10^12 docs);
+    2. explode each domain's bounded suffix set (~5/host) and
+       left-semi equi-join against the BROADCAST blocklist → the HIT
+       domain set, bounded by (corpus domains ∩ blocklist subtrees),
+       in practice ≲ blocklist size;
+    3. join the hit set back on `domain_col`. The hit count is checked
+       (an action over dimension-sized data): within
+       `max_broadcast_hits` the verdict join is an explicit broadcast —
+       zero wide exchange on the corpus — else it falls back to a
+       plain equi-join and AQE picks the strategy.
+
+    With `keep_col` set, rows are annotated (True = blocked) instead of
+    filtered.
+    """
+    dom = F.col("_bd_dom")
+    labels = F.split(dom, r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    bl = F.broadcast(
+        blocklist_df.select(F.col(blocklist_df.columns[0]).alias("_bd_entry"))
+    )
+    hits = (
+        df.select(F.col(domain_col).alias("_bd_dom"))
+        .distinct()
+        .select(dom, F.explode(suffixes).alias("_bd_sfx"))
+        .join(bl, F.col("_bd_sfx") == F.col("_bd_entry"), "left_semi")
+        .select(dom)
+        .distinct()
+    )
+    n_hits = hits.count()
+    if n_hits <= max_broadcast_hits:
+        hits = F.broadcast(hits)
+    out = df.join(hits, F.col(domain_col) == dom, "left")
+    blocked = dom.isNotNull()
+    if keep_col is not None:
+        return out.withColumn(keep_col, blocked).drop("_bd_dom")
+    return out.filter(~blocked).drop("_bd_dom")
 
 
 def domain_profile(

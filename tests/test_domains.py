@@ -135,6 +135,69 @@ def test_filter_blocked_domains(spark):
     assert "Exchange" not in plan
 
 
+def test_filter_blocked_domains_df_matches_literal(spark):
+    """The DataFrame-blocklist variant is semantics-identical to the
+    literal variant, and its corpus-side verdict join is a broadcast
+    (no sort-merge join anywhere in the plan)."""
+    from inspectehr_spark.operators.domains import (
+        filter_blocked_domains,
+        filter_blocked_domains_df,
+    )
+
+    rows = [
+        (i, d)
+        for i, d in enumerate(
+            [
+                "tracker.example",
+                "ads.tracker.example",
+                "deep.ads.tracker.example",
+                "example",
+                "nottracker.example",
+                "news.site",
+                "spam.net",
+                "a.spam.net",
+            ]
+            * 3
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    bl = ("tracker.example", "spam.net")
+    bl_df = spark.createDataFrame([(b,) for b in bl], "entry string")
+
+    lit_kept = sorted(
+        (r["doc_id"], r["domain"])
+        for r in filter_blocked_domains(df, "domain", bl).collect()
+    )
+    df_kept_frame = filter_blocked_domains_df(df, bl_df, "domain")
+    df_kept = sorted(
+        (r["doc_id"], r["domain"]) for r in df_kept_frame.collect()
+    )
+    assert lit_kept == df_kept and len(lit_kept) > 0
+
+    lit_ann = {
+        r["doc_id"]: r["b"]
+        for r in filter_blocked_domains(df, "domain", bl, keep_col="b").collect()
+    }
+    df_ann = {
+        r["doc_id"]: r["b"]
+        for r in filter_blocked_domains_df(df, bl_df, "domain", keep_col="b").collect()
+    }
+    assert lit_ann == df_ann
+
+    plan = df_kept_frame._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # fallback path (hit set over the broadcast cap) stays correct
+    fb = sorted(
+        (r["doc_id"], r["domain"])
+        for r in filter_blocked_domains_df(
+            df, bl_df, "domain", max_broadcast_hits=0
+        ).collect()
+    )
+    assert fb == lit_kept
+
+
 def _ref_url_parts(url):
     """Serial reference for the urlfns contract, built on urllib.parse."""
     import re
