@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = [
     "url_normalize",
     "domain_tfidf_terms",
     "blocked_domain_audit",
+    "url_canonical_dedup",
     # last driver-checked in r3 — the veterans, oldest rows first
     "pricing_summary",
     "nation_revenue",

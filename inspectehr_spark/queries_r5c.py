@@ -1,7 +1,7 @@
 """Round-5 extension registry (c): domain/URL-level provenance curation,
 each with a full DuckDB value oracle.
 
-Four queries over `documents` (`source` is the domain key — the fixture
+Five queries over `documents` (`source` is the domain key — the fixture
 has no URL column, so url_normalize synthesises URLs DETERMINISTICALLY
 from (doc_id, source, lang) with the same expression on both engines;
 no external data):
@@ -15,6 +15,8 @@ no external data):
   smoothed tf-idf, ranked on the ROUNDED score (total order).
 - blocked_domain_audit   — host-blocklist verdict per doc with subdomain
   (dot-suffix) semantics, zero-shuffle (operators/domains).
+- url_canonical_dedup    — C4-style URL-keyed exact dedup on the
+  canonical form (utm/fragment variants collapse), one partial agg.
 
 Reference analog: the per-site rollup R/report.R:40-77; URL/tf-idf are
 the beyond-reference web-pipeline set (SURVEY §8).
@@ -235,9 +237,101 @@ SELECT doc_id, host, ({_BLOCK_PRED}) AS blocked FROM h
 """
 
 
+def _with_colliding_urls(spark, sf_dir):
+    """URL synthesis with DELIBERATE canonical collisions: the page id is
+    doc_id % 10, and utm decoration + fragments vary by doc_id — so utm/
+    fragment variants of one logical page share a canonical form (the C4
+    motivation for URL-keyed dedup). Mirrored verbatim in the oracle CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pid = (F.col("doc_id") % 10).cast("string")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTP://WWW.")).otherwise(
+            F.lit("https://")
+        ),
+        F.col("source"),
+        F.lit(".Example.COM/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        pid,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("?utm_source=rss&utm_campaign=news"),
+        )
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("?id="), pid))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+_COLLIDING_URL_CTE = """
+u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.' ELSE 'https://' END)
+         || source || '.Example.COM/' || lang || '/page-'
+         || CAST(doc_id % 10 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN '?utm_source=rss&utm_campaign=news'
+                  WHEN doc_id % 5 = 1 THEN '?id=' || CAST(doc_id % 10 AS VARCHAR)
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM u0
+),
+"""
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL-keyed exact dedup on the CANONICAL form (Raffel et al. 2020
+    §2.2: C4 dedups on URL; utm/fragment variants of one page are one
+    key): canonicalise (pure projection, functions/urlfns) then ONE
+    partial-aggregated groupBy on the canonical key — min-doc_id
+    survivor + variant count. No window, no full-row sort, no join:
+    at 10^12 rows the single exchange carries (canon, doc_id) pairs
+    already combined map-side. Compare flag_duplicates
+    (operators/windows.py:19) for the keep-first row-recovery variant
+    when survivor PAYLOAD rows must be kept — here the key + count is
+    the deliverable, so the agg shape is strictly cheaper."""
+    from inspectehr_spark.functions import urlfns as U
+
+    d = _with_colliding_urls(spark, sf_dir)
+    return (
+        d.select("doc_id", U.url_canonical("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("first_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
+SQL_URL_CANONICAL_DEDUP = rf"""
+WITH u0 AS (SELECT doc_id, source, lang FROM documents),
+{_COLLIDING_URL_CTE}
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_replace(
+           regexp_replace(regexp_extract(url, '\?([^#]*)', 1),
+                          'utm_[a-z]+=[^&]*&', '', 'g'),
+           '&?utm_[a-z]+=[^&]*', '', 'g') AS query_clean
+  FROM u
+)
+SELECT scheme || '://' || host || path
+         || (CASE WHEN query_clean <> '' THEN '?' || query_clean ELSE '' END)
+         AS canonical_url,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM parts
+GROUP BY 1
+"""
+
+
 R5C_QUERIES = {
     "domain_quality_profile": (q_domain_quality_profile, SQL_DOMAIN_QUALITY_PROFILE),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "domain_tfidf_terms": (q_domain_tfidf_terms, SQL_DOMAIN_TFIDF_TERMS),
     "blocked_domain_audit": (q_blocked_domain_audit, SQL_BLOCKED_DOMAIN_AUDIT),
+    "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
 }

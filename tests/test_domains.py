@@ -275,6 +275,21 @@ def test_urlfns_property_vs_urllib(spark):
     run()
 
 
+def test_url_canonical_dedup_collapses_variants(spark, sf_dir):
+    """The colliding synthesis really produces utm/fragment variants that
+    collapse (else the query degenerates to a no-op dedup), and the plan
+    is agg-shaped: no window, no sort-merge join."""
+    from inspectehr_spark.queries import QUERIES
+
+    df = QUERIES["url_canonical_dedup"][0](spark, sf_dir)
+    rows = df.collect()
+    assert sum(r["n_variants"] for r in rows) > len(rows)  # real collapses
+    assert all("utm_" not in r["canonical_url"] for r in rows)
+    assert all("#" not in r["canonical_url"] for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
 def test_url_normalize_plan_zero_shuffle(spark, sf_dir):
     from inspectehr_spark.queries import QUERIES
 
