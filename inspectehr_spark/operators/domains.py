@@ -57,8 +57,13 @@ def filter_blocked_domains(
         F.sequence(F.lit(1), n),
         lambda i: F.array_join(F.slice(labels, i, n), "."),
     )
-    blocked = F.arrays_overlap(
-        suffixes, F.array(*[F.lit(b) for b in blocklist])
+    # NULL domain → arrays_overlap is NULL, which a bare filter would
+    # silently drop; a blocklist must never be the thing that discards
+    # domain-less rows, so NULL coalesces to not-blocked (matching the
+    # df variant, where an unmatched left join means kept).
+    blocked = F.coalesce(
+        F.arrays_overlap(suffixes, F.array(*[F.lit(b) for b in blocklist])),
+        F.lit(False),
     ) if blocklist else F.lit(False)
     if keep_col is not None:
         return df.withColumn(keep_col, blocked)

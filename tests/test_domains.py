@@ -156,6 +156,7 @@ def test_filter_blocked_domains_df_matches_literal(spark):
                 "news.site",
                 "spam.net",
                 "a.spam.net",
+                None,  # domain-less row: both variants must KEEP it
             ]
             * 3
         )
