@@ -75,7 +75,7 @@ def filter_blocked_domains_df(
     blocklist_df: DataFrame,
     domain_col: str = "domain",
     keep_col: str | None = None,
-    max_broadcast_hits: int = 5_000_000,
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """The large-blocklist variant of `filter_blocked_domains`: the
     blocklist is a one-column DataFrame (first column = blocked host)
@@ -91,11 +91,16 @@ def filter_blocked_domains_df(
        left-semi equi-join against the BROADCAST blocklist → the HIT
        domain set, bounded by (corpus domains ∩ blocklist subtrees),
        in practice ≲ blocklist size;
-    3. join the hit set back on `domain_col`. The hit count is checked
-       (an action over dimension-sized data): within
-       `max_broadcast_hits` the verdict join is an explicit broadcast —
-       zero wide exchange on the corpus — else it falls back to a
-       plain equi-join and AQE picks the strategy.
+    3. join the hit set back on `domain_col`. With `broadcast_hits`
+       (default) the verdict join carries an explicit broadcast hint —
+       zero wide exchange on the corpus; the hit set is bounded by the
+       blocklist, which by this function's contract fits a broadcast.
+       Pass `broadcast_hits=False` for a blocklist near executor-memory
+       size: the hint is dropped and AQE picks the strategy at runtime.
+
+    The whole operator is LAZY — no action runs at construction time,
+    so it composes into lineage replay and streaming foreachBatch plans
+    without re-executing the distinct+explode join per call.
 
     With `keep_col` set, rows are annotated (True = blocked) instead of
     filtered.
@@ -118,8 +123,7 @@ def filter_blocked_domains_df(
         .select(dom)
         .distinct()
     )
-    n_hits = hits.count()
-    if n_hits <= max_broadcast_hits:
+    if broadcast_hits:
         hits = F.broadcast(hits)
     out = df.join(hits, F.col(domain_col) == dom, "left")
     blocked = dom.isNotNull()
@@ -215,3 +219,60 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("domain", "term", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def registered_domain_df(
+    df: DataFrame,
+    psl_df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "registered_domain",
+    max_suffix_labels: int = 5,
+) -> DataFrame:
+    """PSL eTLD+1 annotation against a public-suffix TABLE — the
+    large-list sibling of `functions.urlfns.url_registered_domain(psl=)`
+    for the full publicsuffix.org list (~10^4 exact entries after
+    wildcard expansion), where a plan-literal array would put 10^4
+    interpreted string compares inside a per-element HOF.
+
+    Scale shape: ONE broadcast left join per candidate suffix LENGTH
+    (1..max_suffix_labels); the corpus is the STREAM side of every join,
+    so it is never shuffled and never exploded, and the identical psl
+    broadcast is reused across the joins (ReusedExchange). Longest match
+    wins. Same contract as the literal variant:
+
+    - host IS a listed suffix            -> NULL (no registered domain);
+    - longest listed suffix + one label  -> eTLD+1;
+    - no listed suffix (default rule '*')-> last two labels
+                                            (whole host when single-label).
+
+    Suffixes longer than `max_suffix_labels` labels are not matched
+    (the real PSL's longest entries are 4-5 labels).
+    """
+    host = F.col(host_col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    entry = F.col(psl_df.columns[0])
+    out = df
+    hits: list[tuple[int, F.Column]] = []
+    for ln in range(1, max_suffix_labels + 1):
+        sfx, hit = f"_rd_sfx{ln}", f"_rd_hit{ln}"
+        p = F.broadcast(
+            psl_df.select(entry.alias(sfx), F.lit(True).alias(hit))
+        )
+        out = out.withColumn(
+            sfx,
+            F.when(n >= ln, F.array_join(F.slice(labels, n - ln + 1, ln), ".")),
+        ).join(p, on=sfx, how="left")
+        hits.append((ln, F.col(hit)))
+    best = F.lit(0)
+    for ln, hit in hits:                    # later (longer) match overrides
+        best = F.when(hit, F.lit(ln)).otherwise(best)
+    reg = (
+        F.when(best == n, F.lit(None).cast("string"))
+        .when(best > 0, F.array_join(F.slice(labels, n - best, best + 1), "."))
+        .when(n >= 2, F.array_join(F.slice(labels, n - 1, F.lit(2)), "."))
+        .otherwise(host)
+    )
+    out = out.withColumn(out_col, reg)
+    return out.drop(*[c for ln in range(1, max_suffix_labels + 1)
+                      for c in (f"_rd_sfx{ln}", f"_rd_hit{ln}")])

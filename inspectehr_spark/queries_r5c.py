@@ -136,8 +136,8 @@ parts AS (
 cleaned AS (
   SELECT *,
          regexp_replace(
-           regexp_replace(qraw, 'utm_[a-z]+=[^&]*&', '', 'g'),
-           '&?utm_[a-z]+=[^&]*', '', 'g') AS query_clean
+           regexp_replace(qraw, '(^|&)utm_[a-z]+=[^&]*', '', 'g'),
+           '^&+', '', 'g') AS query_clean
   FROM parts
 )
 SELECT doc_id, url, scheme, host,
@@ -314,8 +314,8 @@ parts AS (
          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
          regexp_replace(
            regexp_replace(regexp_extract(url, '\?([^#]*)', 1),
-                          'utm_[a-z]+=[^&]*&', '', 'g'),
-           '&?utm_[a-z]+=[^&]*', '', 'g') AS query_clean
+                          '(^|&)utm_[a-z]+=[^&]*', '', 'g'),
+           '^&+', '', 'g') AS query_clean
   FROM u
 )
 SELECT scheme || '://' || host || path

@@ -263,7 +263,14 @@ def vacuum(root: str, grace_sec: float = 24 * 3600.0) -> list[str]:
             except OSError:
                 young = False
             if young:
-                os.rename(trash, path)
+                # Restore is best-effort: a concurrent vacuum's crashed-
+                # leftover sweep can rmtree our aged .trash-* claim in
+                # the window before the utime refresh below; an OSError
+                # here must not abort the rest of the sweep.
+                try:
+                    os.rename(trash, path)
+                except OSError:
+                    pass
                 continue
             # Refresh the claim's (aged) mtime so a CONCURRENT vacuum's
             # crashed-leftover sweep above can't rmtree it out from under
@@ -272,9 +279,12 @@ def vacuum(root: str, grace_sec: float = 24 * 3600.0) -> list[str]:
             try:
                 os.utime(trash)
             except OSError:
-                pass                       # claim gone: restore will raise
+                pass                       # claim gone: restore is a no-op
             if rel in _referenced_dirs(root):
-                os.rename(trash, path)     # late commit won: restore intact
+                try:
+                    os.rename(trash, path)  # late commit won: restore intact
+                except OSError:
+                    pass                   # claim raced away: keep sweeping
                 continue
             shutil.rmtree(trash, ignore_errors=True)
             deleted.append(rel)
@@ -381,7 +391,27 @@ def _corrective_merge(
     shadowed commits' ADDITIONS relative to `base` — data dirs, per-table
     dirs, extra payload — into a merge commit on top of the current
     latest. Data-dir names are uuid-unique, so presence tests are exact
-    and the fold is idempotent. Returns the merge version."""
+    and the fold is idempotent. Returns the merge version.
+
+    The fold is only sound for shadowed commits that are ADDITIVE
+    relative to their base (append / keep-prior txn / an earlier merge):
+    their entire intent is captured by `dirs - base_dirs`. A shadowed
+    replace(), rollback(), compact() or txn-replace carries DROP
+    semantics — dirs it meant to remove stay referenced through v<nxt>,
+    silently resurrecting replaced/rolled-back rows. That cannot be
+    replayed additively, so it raises CommitConflict: loud failure
+    (v<nxt> stays visible — a published manifest is never unlinked — and
+    the operator resolves the divergence with rollback()/replace())
+    rather than silent data resurrection. In Iceberg terms this is a
+    validation failure on concurrent conflicting commits."""
+    for v in shadowed:
+        op = str(_read_manifest(root, v).get("operation", ""))
+        if not (op in ("append", "txn") or op.startswith("merge(")):
+            raise CommitConflict(
+                f"shadowed non-additive commit v{v} ({op!r}) at {root}: its "
+                f"drop semantics cannot be additive-folded into v{nxt}; "
+                "resolve with rollback()/replace()"
+            )
     base_m = _read_manifest(root, base) if base else {}
     base_dirs = set(base_m.get("dirs", []))
     base_tbls = {k: set(v) for k, v in base_m.get("tables", {}).items()}
@@ -571,7 +601,11 @@ def commit_transaction(
             # must not erase another ingest's replay record).
             ex = _merge_extra(m.get("extra", {}), ex)
         manifest = {
-            "operation": "txn",
+            # keep_prior is recorded in the operation name: a corrective
+            # merge may only additive-fold commits that APPEND relative
+            # to their base ("txn"); a replace-mode transaction
+            # ("txn-replace") carries drop semantics it cannot replay.
+            "operation": "txn" if keep_prior else "txn-replace",
             "committed_at": time.time(),
             "tables": tbls,
             "extra": ex,

@@ -35,6 +35,8 @@ def test_url_normalisation_known_answers(spark):
             "https://blog.example.com/a/b?id=7",
             "https://example.com/plain",
             "https://example.com/only-utm?utm_medium=mail",
+            "https://example.com/p?xutm_source=1&utm_source=rss",
+            "https://example.com/p?utm_a=1&utm_b=2&keep=3",
         ],
     )
     r = rows["HTTP://WWW.News.Example.COM/en/page-1?utm_source=rss&ref=1&utm_campaign=x#top"]
@@ -57,6 +59,17 @@ def test_url_normalisation_known_answers(spark):
     r = rows["https://example.com/only-utm?utm_medium=mail"]
     assert r["q"] == ""
     assert r["canon"] == "https://example.com/only-utm"
+
+    # ADVICE r5 #3: a non-utm name ENDING in "utm_…" survives whole — the
+    # strip is anchored to a separator, no "x" residue corruption.
+    r = rows["https://example.com/p?xutm_source=1&utm_source=rss"]
+    assert r["q"] == "xutm_source=1"
+    assert r["canon"] == "https://example.com/p?xutm_source=1"
+
+    # consecutive leading utm params heal to the surviving tail param
+    r = rows["https://example.com/p?utm_a=1&utm_b=2&keep=3"]
+    assert r["q"] == "keep=3"
+    assert r["canon"] == "https://example.com/p?keep=3"
 
 
 def test_domain_profile_flags_and_dups(spark):
@@ -189,11 +202,11 @@ def test_filter_blocked_domains_df_matches_literal(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
-    # fallback path (hit set over the broadcast cap) stays correct
+    # AQE-decides path (no broadcast hint on the verdict join) stays correct
     fb = sorted(
         (r["doc_id"], r["domain"])
         for r in filter_blocked_domains_df(
-            df, bl_df, "domain", max_broadcast_hits=0
+            df, bl_df, "domain", broadcast_hits=False
         ).collect()
     )
     assert fb == lit_kept
@@ -209,8 +222,8 @@ def _ref_url_parts(url):
     host = sp.hostname or ""
     path = sp.path
     q = sp.query
-    q = re.sub(r"utm_[a-z]+=[^&]*&", "", q)
-    q = re.sub(r"&?utm_[a-z]+=[^&]*", "", q)
+    q = re.sub(r"(?:^|&)utm_[a-z]+=[^&]*", "", q)
+    q = re.sub(r"^&+", "", q)
     return {
         "scheme": scheme,
         "host": host,
@@ -239,7 +252,13 @@ def test_urlfns_property_vs_urllib(spark):
     pval = st.text(alphabet="abc012", min_size=0, max_size=5)
     params = st.lists(
         st.tuples(
-            st.sampled_from(["utm_source", "utm_medium", "utm_campaign", "ref", "id"]),
+            st.sampled_from(
+                # "xutm_source" is the ADVICE r5 #3 adversarial shape: a
+                # non-utm name that merely ENDS in "utm_…" must survive
+                # the anchored strip intact, not leave an "x" residue.
+                ["utm_source", "utm_medium", "utm_campaign", "ref", "id",
+                 "xutm_source"]
+            ),
             pval,
         ),
         min_size=0,
@@ -316,3 +335,125 @@ def test_tfidf_domain_count_is_broadcast(spark, sf_dir):
     # shuffled/sort-merge cross join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def _ref_registered_domain(host, psl):
+    """Serial PSL reference: longest listed suffix + one label; host IS a
+    suffix -> None; unlisted -> default rule (last two labels)."""
+    labels = host.split(".")
+    n = len(labels)
+    for i in range(n):                       # i=0 is the whole host
+        if ".".join(labels[i:]) in psl:
+            if i == 0:
+                return None
+            return ".".join(labels[i - 1:])
+    return ".".join(labels[-2:]) if n >= 2 else host
+
+
+def test_psl_registered_domain_known_answers(spark):
+    """VERDICT r5 #3: proper eTLD+1 — longest match wins (a.co.uk stays
+    a.co.uk, never the suffix-naive co.uk), suffix-hosts have no
+    registered domain, unlisted TLDs fall back to the default rule."""
+    from inspectehr_spark.functions import urlfns as U
+
+    psl = U.psl_fixture()
+    cases = {
+        "https://a.co.uk/x": "a.co.uk",          # eTLD+1 under co.uk
+        "https://x.a.co.uk/x": "a.co.uk",        # subdomain strips to eTLD+1
+        "https://www.news.example.com/x": "example.com",
+        "https://co.uk/x": None,                 # host IS a public suffix
+        "https://github.io/x": None,             # private-registry suffix
+        "https://user.github.io/x": "user.github.io",
+        "https://deep.user.github.io/x": "user.github.io",
+        "https://foo.zz/x": "foo.zz",            # unlisted TLD: default rule
+        "https://a.b.foo.zz/x": "foo.zz",
+        "https://localhost/x": "localhost",      # single label, unlisted
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["rd"]
+        for r in df.select(
+            "url", U.url_registered_domain("url", psl=psl).alias("rd")
+        ).collect()
+    }
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
+        host = u.split("//")[1].split("/")[0]
+        assert _ref_registered_domain(host, set(psl)) == want, (u, "ref")
+    # psl=None keeps the r5 www-strip contract unchanged
+    got_none = {
+        r["url"]: r["rd"]
+        for r in df.select(
+            "url", U.url_registered_domain("url").alias("rd")
+        ).collect()
+    }
+    assert got_none["https://www.news.example.com/x"] == "news.example.com"
+
+
+def test_psl_registered_domain_property(spark):
+    """Hypothesis: generated multi-label hosts agree with the serial PSL
+    reference on every rule branch (longest-match, suffix-is-host,
+    default rule)."""
+    from hypothesis import given, settings, strategies as st
+
+    from inspectehr_spark.functions import urlfns as U
+
+    psl = U.psl_fixture()
+    label = st.sampled_from(["a", "bb", "www", "user", "x9"])
+    suffix = st.sampled_from(list(psl) + ["zz", "qq.zz"])
+    hosts_strategy = st.tuples(st.lists(label, min_size=0, max_size=3), suffix)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(hosts_strategy, min_size=1, max_size=50))
+    def run(batch):
+        hosts = sorted({".".join([*ls, sfx]) for ls, sfx in batch})
+        df = spark.createDataFrame(
+            [(f"https://{h}/p",) for h in hosts], "url string"
+        )
+        got = {
+            r["url"]: r["rd"]
+            for r in df.select(
+                "url", U.url_registered_domain("url", psl=psl).alias("rd")
+            ).collect()
+        }
+        for h in hosts:
+            assert got[f"https://{h}/p"] == _ref_registered_domain(h, set(psl))
+
+    run()
+
+
+def test_registered_domain_df_matches_literal_and_plan(spark):
+    """The broadcast-join variant (full-PSL scale path) agrees with the
+    literal variant row-for-row, and its plan never shuffles the corpus:
+    broadcast joins only, no Exchange on the stream side."""
+    from inspectehr_spark.functions import urlfns as U
+    from inspectehr_spark.operators.domains import registered_domain_df
+
+    psl = U.psl_fixture()
+    hosts = [
+        "a.co.uk", "x.a.co.uk", "www.news.example.com", "co.uk",
+        "github.io", "user.github.io", "deep.user.github.io",
+        "foo.zz", "a.b.foo.zz", "localhost", "",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    psl_df = spark.createDataFrame([(s,) for s in psl], "suffix string")
+    got = {
+        r["host"]: r["registered_domain"]
+        for r in registered_domain_df(df, psl_df, "host").collect()
+    }
+    for h in hosts:
+        want = _ref_registered_domain(h, set(psl)) if h else ""
+        assert got[h] == want, (h, got[h], want)
+
+    plan = (
+        registered_domain_df(df, psl_df, "host")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only exchanges are the psl broadcasts, never a corpus shuffle
+    import re
+
+    assert not re.search(r"Exchange (hash|range)partitioning", plan), plan

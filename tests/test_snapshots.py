@@ -458,3 +458,53 @@ def test_vacuum_restores_dir_touched_before_claim(spark, tmp_path, monkeypatch):
     assert os.path.isdir(path)
     snap._commit(root, "append", [rel], keep_prior=True)   # publish succeeds
     assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2, 50, 51, 52]
+
+
+def test_shadowed_replace_raises_commit_conflict(spark, tmp_path, monkeypatch):
+    """ADVICE r5 #1 (medium): a shadowed commit with DROP semantics
+    (replace/rollback/compact/txn-replace) cannot be additive-folded —
+    the dirs it meant to remove would stay referenced through our commit,
+    silently resurrecting replaced rows. The corrective merge must raise
+    CommitConflict instead, leaving our manifest visible (never unlinked)
+    for the operator to resolve."""
+    root = str(tmp_path / "tbl")
+    snap.append(_df(spark, 0, 3), root)                       # v1
+    mdir = os.path.join(root, "_manifests")
+    open(os.path.join(mdir, "v2.json"), "w").close()          # unparsable squat
+    rel2 = snap._write_data(_df(spark, 50, 52), root, 2, None)
+    m2 = {"operation": "replace", "committed_at": 0.0, "dirs": [rel2]}
+    orig = snap._try_commit
+
+    def planted(root_, manifest, version):
+        if version == 3:
+            os.unlink(os.path.join(mdir, "v2.json"))
+            assert orig(root_, m2, 2)
+        return orig(root_, manifest, version)
+
+    monkeypatch.setattr(snap, "_try_commit", planted)
+    with pytest.raises(snap.CommitConflict, match="non-additive"):
+        snap.append(_df(spark, 7, 9), root)
+    monkeypatch.setattr(snap, "_try_commit", orig)
+
+    # our v3 stays published (append-only history) and is the readable
+    # latest; no merge commit resurrected the pre-replace rows silently.
+    assert snap.latest_version(root) == 3
+    assert _ids(snap.read_snapshot(spark, root)) == [0, 1, 2, 7, 8]
+    # the operator resolves the divergence explicitly: rollback to the
+    # replace's state, then the next append proceeds normally.
+    snap.rollback(root, 2)
+    v = snap.append(_df(spark, 9, 10), root)
+    assert _ids(snap.read_snapshot(spark, root, version=v)) == [9, 50, 51]
+
+
+def test_txn_keep_prior_false_records_txn_replace(spark, tmp_path):
+    """keep_prior=False transactions record operation 'txn-replace' so a
+    corrective merge can tell their drop semantics from an additive txn."""
+    root = str(tmp_path / "tbl")
+    rel = snap.write_table_data(_df(spark, 0, 2), root, "t", 1)
+    snap.commit_transaction(root, {"t": [rel]})
+    rel2 = snap.write_table_data(_df(spark, 5, 7), root, "t", 2)
+    snap.commit_transaction(root, {"t": [rel2]}, keep_prior=False)
+    ops = [h["operation"] for h in snap.history(root)]
+    assert ops == ["txn", "txn-replace"]
+    assert _ids(snap.read_table(spark, root, "t")) == [5, 6]
