@@ -23,31 +23,75 @@ SF0001 = "/root/testdata/sf0.001"
 # thrice-green veterans go last.  Names absent from the registry are ignored
 # so this list can't break the contract.
 _DRIVER_PRIORITY = [
-    # rows-only records since r1 — three gain full DuckDB oracles in r5
-    # (hash-replay technique); pipeline_decisions stays rows-only (model
-    # UDFs) but re-verifies the r5 mapInArrow conversion
+    # NEW r6 — PSL eTLD+1 (never driver-checked)
+    "psl_registered_domain",
+    # freshest driver row is r4 — these carry the r5 snapshot-protocol
+    # and review fixes (plus any r6 refactors) driver-unverified; they
+    # lead so that after r6 every registry query has a row <=2 rounds old
+    # (VERDICT r5 next-round #4)
+    "asof_last_view",
+    "asof_nearest_view",
+    "asof_next_view",
+    "chronology_decomposed",
+    "chronology_inversions",
+    "comparison_failures",
+    "daily_active_users",
+    "daily_type_counts",
+    "daily_type_rollup",
+    "dataset_split",
+    "decontaminate",
+    "dedup_first_per_key",
+    "dedup_within_doc",
+    "doc_length_fail",
+    "drift_flagged_groups",
+    "dup_events",
+    "episode_invalid_records",
+    "episode_table",
+    "failure_log",
+    "global_missingness",
+    "lang_set_fail",
+    "langid_heuristic",
+    "line_scrub",
+    "monthly_blacklist",
+    "multimodal_image_features",
+    "near_dup_cells",
+    "ngram_jaccard_adjacent",
+    "origin_failures",
+    "packed_bins",
+    "periodicity_failures",
+    "periodicity_max_gap",
+    "psi_drift",
+    "purchase_without_signup",
+    "score_by_source",
+    "segment_line_lengths",
+    "session_counts",
+    "stratified_sample_docs",
+    "temporal_bounds_fail",
+    "text_features",
+    "tod_bounds_fail",
+    "tod_ks_drift",
+    "typical_daily_profile",
+    "value_percentiles",
+    "word_dup_stats",
+    # r5-green queries whose code paths r6 touches (anchored utm strip,
+    # blocklist operator laziness, snapshot corrective-merge guard)
+    "url_normalize",
+    "url_canonical_dedup",
+    "blocked_domain_audit",
+    "decisions_history",
+    "pipeline_decisions",
+    # veterans (green in r5, code untouched this round)
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "ann_lsh_topk",
-    "pipeline_decisions",
-    # oracle-paired in r5 (was rows-only in r4)
     "simhash_hamming_pairs",
-    # registry engine switched sql→arrow in r5 — re-verify vs the oracle
     "embedding_near_dup",
-    # snapshot commit protocol + scratch lifecycle changed in r5
-    "decisions_history",
-    # NEW in r5 — corpus segment curation + profiling (queries_r5b.py)
     "dedup_across_docs",
     "boilerplate_scrub",
     "shingle_dup_coverage",
     "corpus_top_ngrams",
-    # NEW in r5 — domain/URL provenance curation (queries_r5c.py)
     "domain_quality_profile",
-    "url_normalize",
     "domain_tfidf_terms",
-    "blocked_domain_audit",
-    "url_canonical_dedup",
-    # last driver-checked in r3 — the veterans, oldest rows first
     "pricing_summary",
     "nation_revenue",
     "customers_no_orders",
@@ -79,18 +123,9 @@ _DRIVER_PRIORITY = [
     "minhash_band_signature",
     "ivf_topk",
     "bpe_token_counts",
-    # r4-green queries whose code paths the r5 refactors touch
-    # (arrow pair chain, scrub/term-list config, curation sf1 re-checks)
     "near_dup_components",
     "near_dup_survivors",
     "keep_drop",
-    "line_scrub",
-    "dedup_within_doc",
-    "word_dup_stats",
-    "dataset_split",
-    "stratified_sample_docs",
-    "packed_bins",
-    "decontaminate",
 ]
 
 

@@ -794,6 +794,7 @@ from inspectehr_spark.queries_r4 import R4_QUERIES  # noqa: E402
 from inspectehr_spark.queries_r5 import R5_QUERIES  # noqa: E402
 from inspectehr_spark.queries_r5b import R5B_QUERIES  # noqa: E402
 from inspectehr_spark.queries_r5c import R5C_QUERIES  # noqa: E402
+from inspectehr_spark.queries_r6 import R6_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(EPISODE_QUERIES)
@@ -803,3 +804,4 @@ QUERIES.update(R4_QUERIES)
 QUERIES.update(R5_QUERIES)
 QUERIES.update(R5B_QUERIES)
 QUERIES.update(R5C_QUERIES)
+QUERIES.update(R6_QUERIES)
