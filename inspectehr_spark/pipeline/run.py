@@ -40,7 +40,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from inspectehr_spark.sources import snapshots as snap
+from inspectehr_spark.sources.store import FileSnapshotStore, SnapshotStore
 
 from inspectehr_spark.functions.textfns import ALL_STOPWORDS, word_ngrams
 from inspectehr_spark.pipeline import spec
@@ -307,6 +307,7 @@ def run_pipeline(
     salt_partitions: int | None = None,
     dup_strategy: str = "window",
     tox_terms_path: str | None = None,
+    store: "SnapshotStore | None" = None,
 ) -> dict[str, int]:
     """Execute the pipeline; idempotent under resume.
 
@@ -328,6 +329,8 @@ def run_pipeline(
     travels, and `snapshots.rollback` undoes a bad run without rewriting
     history. Returns {"partitions_processed": k, "rows": n}.
     """
+    if store is None:
+        store = FileSnapshotStore(out_dir)
     t: dict[str, float] = {}
     t0 = time.perf_counter()
 
@@ -348,7 +351,7 @@ def run_pipeline(
     )
 
     if resume:
-        done_dates = set(snap.latest_extra(out_dir).get("dates", []))
+        done_dates = set(store.latest_extra().get("dates", []))
         if done_dates:
             done = spark.createDataFrame(
                 [(p,) for p in sorted(done_dates)], "p_date string"
@@ -420,20 +423,20 @@ def run_pipeline(
             F.xxhash64("url"),
             F.lit(max(2, spark.sparkContext.defaultParallelism)),
         )
-        hint = (snap.latest_version(out_dir) or 0) + 1
-        rel_dec = snap.write_table_data(
+        hint = (store.latest_version() or 0) + 1
+        rel_dec = store.write_table_data(
             decisions.repartition(F.col("p_date"), wsalt),
-            out_dir, "decisions", hint, partition_col="p_date",
+            "decisions", hint, partition_col="p_date",
         )
         _mark("t_decisions")
-        rel_log = snap.write_table_data(
+        rel_log = store.write_table_data(
             log.repartition(F.col("p_date"), wsalt),
-            out_dir, "failures", hint, partition_col="p_date",
+            "failures", hint, partition_col="p_date",
         )
         _mark("t_failures")
-        rel_met = snap.write_table_data(
+        rel_met = store.write_table_data(
             mets.repartition(F.col("partition_id")),
-            out_dir, "metrics", hint, partition_col="partition_id",
+            "metrics", hint, partition_col="partition_id",
         )
         _mark("t_metrics")
         n_rows = flagged.count()
@@ -444,8 +447,7 @@ def run_pipeline(
         # report zero partitions (observed with a cold cache).
         done = [r[0] for r in flagged.select("p_date").distinct().collect()]
         # ONE atomic publish for all three sinks + the resume record
-        snap.commit_transaction(
-            out_dir,
+        store.commit_transaction(
             {"decisions": [rel_dec], "failures": [rel_log], "metrics": [rel_met]},
             extra={"dates": done},
             keep_prior=True,
@@ -458,13 +460,18 @@ def run_pipeline(
 
 
 def read_sink(
-    spark: SparkSession, out_dir: str, name: str, version: int | None = None
+    spark: SparkSession, out_dir: str, name: str, version: int | None = None,
+    store: "SnapshotStore | None" = None,
 ) -> DataFrame:
     """Read a pipeline sink ("decisions" / "failures" / "metrics") at the
     latest committed snapshot, or time-travel to `version`. Uncommitted
     data directories (a crashed run's leftovers) are invisible by
-    construction — readers trust only the manifest."""
-    return snap.read_table(spark, out_dir, name, version=version)
+    construction — readers trust only the manifest. Pass the same `store`
+    the pipeline wrote through (defaults to the file shim at
+    `out_dir`)."""
+    if store is None:
+        store = FileSnapshotStore(out_dir)
+    return store.read_table(spark, name, version=version)
 
 
 def main(argv: list[str] | None = None) -> None:
