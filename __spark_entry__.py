@@ -23,8 +23,9 @@ SF0001 = "/root/testdata/sf0.001"
 # thrice-green veterans go last.  Names absent from the registry are ignored
 # so this list can't break the contract.
 _DRIVER_PRIORITY = [
-    # NEW r6 — PSL eTLD+1 (never driver-checked)
+    # NEW r6 — PSL eTLD+1 + the xxhash64 MinHash scale path (rows-only)
     "psl_registered_domain",
+    "minhash_lsh_pairs_fast",
     # freshest driver row is r4 — these carry the r5 snapshot-protocol
     # and review fixes (plus any r6 refactors) driver-unverified; they
     # lead so that after r6 every registry query has a row <=2 rounds old
@@ -77,10 +78,10 @@ _DRIVER_PRIORITY = [
     # blocklist operator laziness, snapshot corrective-merge guard)
     "url_normalize",
     "url_canonical_dedup",
-    "blocked_domain_audit",
     "decisions_history",
     "pipeline_decisions",
     # veterans (green in r5, code untouched this round)
+    "blocked_domain_audit",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "ann_lsh_topk",
