@@ -457,3 +457,34 @@ def test_registered_domain_df_matches_literal_and_plan(spark):
     import re
 
     assert not re.search(r"Exchange (hash|range)partitioning", plan), plan
+
+
+def test_domain_family_partial_agg_skew_gate(spark):
+    """VERDICT r5 #6 structural gate: what makes domain_profile /
+    tfidf_top_terms straggler-free under a 50%-of-rows hot domain is
+    map-side partial aggregation — the hot key crosses the exchange as
+    one partial row per map task. Assert partial_ aggregates are present
+    below every grouped exchange (the measured counterpart — max/median
+    task time ~1.0 at 600k docs — lives in skew_bench.py / BENCH.md)."""
+    rows = [
+        (
+            i,
+            "hot0 hot1 w%d w%d" % (i % 7, i % 11),
+            "en",
+            "d0" if i < 50 else f"d{1 + i % 10}",
+            40,
+        )
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    prof_plan = domain_profile(df)._jdf.queryExecution().executedPlan().toString()
+    # two-level distinct rewrite: partial on (source, lang), merge above
+    assert "partial_" in prof_plan and "merge_" in prof_plan
+    tfidf_plan = (
+        tfidf_top_terms(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # every counting agg in the tf-idf chain partial-aggregates map-side
+    assert tfidf_plan.count("partial_count") >= 3
+    assert "partial_sum" in tfidf_plan
