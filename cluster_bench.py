@@ -210,12 +210,22 @@ def main() -> None:
             f"{a}->{b}": round((best[a] / best[b]) / (b / a), 3)
             for a, b in pairs
         }
+        # Paired-rep efficiency (VERDICT r5 #1): both arms of rep i ran in
+        # the SAME wall-clock window (the rep loop interleaves levels), so
+        # each ratio is immune to cross-window host-throttle drift; the
+        # distribution shows whether the headline rests on one lucky pair.
+        walls_lo, walls_hi = results[lo][mode], results[hi][mode]
+        paired = [
+            round((a / b) / factor, 3) for a, b in zip(walls_lo, walls_hi)
+        ]
         summary["modes"][mode] = {
             "walls": {c: results[c][mode] for c in levels},
             "best": best,
             "speedup": round(best[lo] / best[hi], 2),
             "scaling_efficiency": round((best[lo] / best[hi]) / factor, 3),
             "efficiency_pairs": eff_pairs,
+            "paired_rep_efficiency": paired,
+            "paired_rep_median": sorted(paired)[len(paired) // 2],
         }
     print(json.dumps(summary))
 
@@ -245,6 +255,20 @@ def main() -> None:
                     f"**{m['efficiency_pairs'][f'{a}->{b}']}**" for a, b in pairs
                 )
                 + " |\n"
+            )
+        f.write(
+            "\nPaired same-window rep efficiencies (each rep runs BOTH "
+            "arms back-to-back, so the ratio is throttle-drift-immune):\n\n"
+        )
+        for mode in ("engine", "pipeline"):
+            m = summary["modes"][mode]
+            f.write(
+                f"- {mode}: walls "
+                + "; ".join(
+                    f"{c}c={m['walls'][c]}" for c in levels
+                )
+                + f" → paired eff {m['paired_rep_efficiency']}"
+                + f", median **{m['paired_rep_median']}**\n"
             )
         f.write(
             "\nengine = scan → native features → hash-keyed dup window "
