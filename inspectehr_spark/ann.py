@@ -417,6 +417,25 @@ def embedding_near_dup_pairs(
             _near_dup_cell_kernel(threshold),
             "vec_id_a long, vec_id_b long, cos_sim double",
         )
+    if engine == "arrow_bkt":
+        # arrow kernel, but the cell key survives into the output — the
+        # SemDeDup rank join needs to know WHICH cell produced each pair
+        # without re-deriving it from vec_id_a (same kernel, one more
+        # passthrough column; the group key is constant per pandas group).
+        inner = _near_dup_cell_kernel(threshold)
+
+        def with_key(key, pdf):
+            # shallow-copy before insert: the kernel returns a SHARED empty
+            # frame for pair-less cells, and .insert() mutates in place — a
+            # second empty cell in the same worker would otherwise hit
+            # "cannot insert cid, already exists"
+            out = inner(pdf).copy(deep=False)
+            out.insert(0, "cid", key[0])
+            return out
+
+        return staged.groupBy("_bkt").applyInPandas(
+            with_key, "cid int, vec_id_a long, vec_id_b long, cos_sim double"
+        )
     if engine != "sql":
         raise ValueError(f"engine must be 'sql' or 'arrow', got {engine!r}")
     # norms precompute ONCE per vector (before the self-join) — the pair
@@ -438,3 +457,150 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int | None = 2000,
+    keep: str = "low",
+    broadcast_verdict: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding-cluster pruning. Within each cluster
+    (`bucket_col` — an IVF cell from `assign_nearest_centroid`, or any
+    precomputed cluster id), rank members by cosine-to-centroid and drop
+    every member whose cosine to an EARLIER-ranked member is >= threshold.
+    This is the reference implementation's semantics (sort the cluster,
+    upper-triangular similarity matrix, drop row i iff max over earlier
+    rows >= tau) — drop verdicts depend on rank order, not on whether the
+    earlier row itself survived. ``keep="low"`` ranks ascending
+    cosine-to-centroid (the paper's choice: keep outliers, drop
+    prototypical near-copies); ``keep="high"`` inverts it.
+
+    Returns (vec_id, cid, cent_cos, is_semantic_dup) for every input row
+    (capped rows beyond `bucket_cap` carry NULL cent_cos and FALSE — they
+    are outside the dedup's scope and a real run logs them via
+    `near_dup_cell_stats`, the never-silent cap contract).
+
+    Plan shape, scale-first:
+    - centroids: dimension-exploded partial agg (`label_centroids`) — rows
+      = cells x dim, tiny by IVF contract; components round to 6dp so the
+      rank order is stable across summation orders;
+    - cent_cos: BROADCAST join of the centroid table onto the corpus + a
+      JVM-side fold — the corpus is never shuffled for this step;
+    - rank: ONE exchange keyed on the cell, reused by the pair kernel's
+      groupBy (same key) — Catalyst collapses the two into one shuffle;
+    - pairs: the arrow GEMM cell kernel (`_near_dup_cell_kernel`) with the
+      hot-cell cap — O(cell^2) bounded, never all-pairs;
+    - verdict: the loser-id set is DISTINCT pair losers (<= pairs, small
+      relative to the corpus when the threshold is tight) joined back
+      BROADCAST — the same zero-wide-exchange verdict shape as the exact
+      dup flag in pipeline/run.py. At a LOOSE threshold losers can
+      approach corpus size; set ``broadcast_verdict=False`` to fall back
+      to a hash join (two exchanges, no driver-memory ceiling) — the same
+      strategy split as run.flag_exact_duplicates.
+
+    Cosines round to 6dp before every comparison (rank order AND the
+    threshold), so verdicts are ulp-stable and the DuckDB oracle replays
+    them exactly. Reference analog: none (inspectEHR has no embedding
+    modality); beyond-reference curation set, SURVEY §8.
+    """
+    if keep not in ("low", "high"):
+        raise ValueError(f"keep must be 'low' or 'high', got {keep!r}")
+    cents = label_centroids(emb, label_col=bucket_col, vec_col=vec_col)
+
+    staged = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(bucket_col).alias("cid"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("cid").orderBy("vec_id")
+        staged = staged.withColumn("_rn", F.row_number().over(wb))
+        in_scope = staged.filter(F.col("_rn") <= bucket_cap).drop("_rn")
+        overflow = staged.filter(F.col("_rn") > bucket_cap).select("vec_id", "cid")
+    else:
+        in_scope = staged
+        overflow = None
+
+    # cosine-to-centroid via a BROADCAST centroid join (tiny by contract)
+    scored = (
+        in_scope.join(F.broadcast(cents), on="cid")
+        .withColumn(
+            "cent_cos",
+            F.round(
+                _dot(F.col("_v"), F.col("centroid"))
+                / (
+                    F.sqrt(_dot(F.col("_v"), F.col("_v")))
+                    * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+                ),
+                6,
+            ),
+        )
+        .drop("centroid")
+    )
+    from pyspark.sql import Window
+
+    order = (
+        [F.col("cent_cos").asc(), F.col("vec_id").asc()]
+        if keep == "low"
+        else [F.col("cent_cos").desc(), F.col("vec_id").asc()]
+    )
+    wr = Window.partitionBy("cid").orderBy(*order)
+    ranked = scored.withColumn("sem_rank", F.row_number().over(wr))
+
+    pairs = embedding_near_dup_pairs(
+        in_scope,
+        threshold=threshold,
+        bucket_col="cid",
+        id_col="vec_id",
+        vec_col="_v",
+        bucket_cap=None,  # already capped above; don't re-window
+        engine="arrow_bkt",
+    )
+    rk = ranked.select("cid", "vec_id", "sem_rank")
+    a = rk.alias("ra")
+    b = rk.alias("rb")
+    losers = (
+        pairs.join(
+            a,
+            (pairs["cid"] == a["cid"]) & (pairs["vec_id_a"] == a["vec_id"]),
+        )
+        .join(
+            b,
+            (pairs["cid"] == b["cid"]) & (pairs["vec_id_b"] == b["vec_id"]),
+        )
+        .select(
+            F.when(
+                F.col("ra.sem_rank") > F.col("rb.sem_rank"), F.col("vec_id_a")
+            )
+            .otherwise(F.col("vec_id_b"))
+            .alias("loser")
+        )
+        .distinct()
+    )
+    losers_side = F.broadcast(losers) if broadcast_verdict else losers
+    verdicts = ranked.join(
+        losers_side, ranked["vec_id"] == losers_side["loser"], "left"
+    ).select(
+        "vec_id",
+        "cid",
+        "cent_cos",
+        F.col("loser").isNotNull().alias("is_semantic_dup"),
+    )
+    if overflow is not None:
+        verdicts = verdicts.unionByName(
+            overflow.select(
+                "vec_id",
+                "cid",
+                F.lit(None).cast("double").alias("cent_cos"),
+                F.lit(False).alias("is_semantic_dup"),
+            )
+        )
+    return verdicts

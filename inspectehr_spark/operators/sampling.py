@@ -115,3 +115,80 @@ def pack_sequences(
     return df.withColumn(
         bin_col, F.floor(before / target_tokens).cast("long")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    target_total: int,
+    alpha: float = 0.7,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+    rate_col: str = "keep_rate",
+    out_col: str = "keep",
+) -> DataFrame:
+    """Temperature-rebalanced sampling across groups — the multilingual
+    rebalancing step of LLM corpus prep (Conneau & Lample 2019 §3.1;
+    T5/mC4, Raffel et al. 2020: sample group g with probability
+    proportional to n_g^alpha, alpha<1 UP-weighting tail languages).
+    Given per-group counts n_g, the expected kept total is
+    `target_total`, apportioned w_g = n_g^alpha / sum(n^alpha); each
+    row keeps independently and DETERMINISTICALLY with
+    rate_g = min(1, target_total * w_g / n_g) via the md5-uniform trick:
+    keep iff the first 8 hex chars of md5('<salt>|<id>') — a uniform
+    32-bit value — fall below floor(rate_g * 16^8), compared as
+    fixed-width hex STRINGS (lexicographic == numeric), the same
+    engine-replayable contract as `assign_split`.
+
+    Rates round to 6dp before quantization so the two engines' pow/sum
+    ulp differences collapse before any comparison (the cosine-rounding
+    contract of ann.py). Rate granularity is 1/2^32 — exact for any
+    realistic rate.
+
+    Plan shape: ONE small partial agg for the counts (groups ≪ corpus:
+    languages, sources), a scalar cross of the normalizer onto that
+    GROUP table (not the corpus), and a BROADCAST join of the per-group
+    rate back onto the corpus — the corpus itself is never shuffled, so
+    the op is scan-speed at 10^12 docs. A kept-row count per group is
+    one extra partial agg if the run logs realized vs expected rates.
+
+    Reference analog: none (inspectEHR consumes a fixed cohort);
+    beyond-reference training-data curation set, SURVEY §8."""
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("group_n"))
+    z = n.agg(
+        F.sum(F.pow(F.col("group_n").cast("double"), F.lit(alpha))).alias("_z")
+    )
+    rates = (
+        n.crossJoin(F.broadcast(z))
+        .withColumn(
+            "_w",
+            F.pow(F.col("group_n").cast("double"), F.lit(alpha)) / F.col("_z"),
+        )
+        .withColumn(
+            rate_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_total)) * F.col("_w") / F.col("group_n"),
+                ),
+                6,
+            ),
+        )
+        .select(group_col, "group_n", rate_col)
+    )
+    u = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 8
+    )
+    # rate < 1 ⇒ floor(rate·16^8) ≤ 0xffffffff ⇒ ≤ 8 hex chars (lpad pads,
+    # never truncates); rate == 1 would hex to 9 chars, so it short-circuits
+    # to TRUE instead of entering the string compare.
+    thr = F.lpad(
+        F.lower(
+            F.hex(F.floor(F.col(rate_col) * F.lit(float(16**8))).cast("long"))
+        ),
+        8,
+        "0",
+    )
+    return df.join(F.broadcast(rates), on=group_col).withColumn(
+        out_col, (F.col(rate_col) >= 1.0) | (u < thr)
+    )

@@ -152,3 +152,117 @@ R6_QUERIES = {
     "psl_registered_domain": (q_psl_registered_domain, SQL_PSL_REGISTERED_DOMAIN),
     "minhash_lsh_pairs_fast": (q_minhash_lsh_pairs_fast, None),
 }
+
+
+def q_semdedup_verdicts(spark, sf_dir):
+    """SemDeDup semantic-dedup verdicts (Abbas et al. 2023) over the
+    embeddings table, clusters = the label column (the 'clusters provided'
+    mode; ann.assign_nearest_centroid is the derived-cluster mode): rank
+    each cluster by cosine-to-centroid ascending (keep outliers — the
+    paper's choice) and drop every member whose cosine to an
+    EARLIER-ranked member is >= 0.35. Full value oracle: DuckDB replays
+    the identical centroid (6dp-rounded dimension means), rank window and
+    pairwise-threshold rule; the Spark pair kernel is the arrow GEMM cell
+    engine, so this also value-checks the scale path end to end."""
+    from inspectehr_spark.ann import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35, bucket_cap=2000, keep="low")
+
+
+SQL_SEMDEDUP_VERDICTS = """
+WITH e AS (
+  SELECT vec_id, label AS cid, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (
+  SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x
+  FROM e
+),
+cent0 AS (SELECT cid, pos, ROUND(AVG(x), 6) AS m FROM dims GROUP BY 1, 2),
+cent AS (SELECT cid, list(m ORDER BY pos) AS c FROM cent0 GROUP BY cid),
+capped AS (
+  SELECT vec_id, cid, v FROM (
+    SELECT vec_id, cid, v,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+    FROM e
+  ) WHERE rn <= 2000
+),
+scored AS (
+  SELECT s.vec_id, s.cid, s.v,
+         ROUND(list_dot_product(s.v, c.c)
+               / (sqrt(list_dot_product(s.v, s.v))
+                  * sqrt(list_dot_product(c.c, c.c))), 6) AS cent_cos
+  FROM capped s JOIN cent c ON s.cid = c.cid
+),
+ranked AS (
+  SELECT vec_id, cid, v, cent_cos,
+         ROW_NUMBER() OVER (PARTITION BY cid
+                            ORDER BY cent_cos ASC, vec_id) AS sem_rank
+  FROM scored
+),
+pairs AS (
+  SELECT a.sem_rank AS ra, b.sem_rank AS rb,
+         a.vec_id AS va, b.vec_id AS vb
+  FROM ranked a JOIN ranked b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN ra > rb THEN va ELSE vb END AS loser FROM pairs
+)
+SELECT r.vec_id, r.cid, r.cent_cos,
+       (l.loser IS NOT NULL) AS is_semantic_dup
+FROM ranked r LEFT JOIN losers l ON r.vec_id = l.loser
+"""
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-rebalanced language sampling (Conneau & Lample 2019;
+    mC4): per-lang keep rates proportional to n^0.7 apportioning an
+    expected 600 kept docs (alpha<1 up-weights tail languages; at sf0.01
+    the hottest tail rate clears 1.0, exercising the clamp branch), each
+    doc kept deterministically by the md5-uniform threshold. Corpus is
+    never shuffled: one small count agg + a broadcast rate join."""
+    from inspectehr_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_sample(
+        docs, "lang", target_total=600, alpha=0.7, id_col="doc_id", salt="temp"
+    )
+    return out.select("doc_id", "lang", "group_n", "keep_rate", "keep")
+
+
+SQL_TEMPERATURE_SAMPLE = """
+WITH n AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS group_n FROM documents GROUP BY lang
+),
+z AS (SELECT sum(pow(CAST(group_n AS DOUBLE), 0.7)) AS z FROM n),
+rates AS (
+  SELECT lang, group_n,
+         round(least(1.0,
+               600.0 * (pow(CAST(group_n AS DOUBLE), 0.7) / z.z)
+                     / CAST(group_n AS DOUBLE)), 6) AS keep_rate
+  FROM n, z
+),
+thr AS (
+  SELECT lang, group_n, keep_rate,
+         lpad(lower(hex(CAST(floor(keep_rate * 4294967296.0) AS BIGINT))),
+              8, '0') AS t
+  FROM rates
+)
+SELECT d.doc_id, d.lang, r.group_n, r.keep_rate,
+       (r.keep_rate >= 1.0
+        OR substr(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < r.t)
+         AS keep
+FROM documents d JOIN thr r USING (lang)
+"""
+
+
+R6_QUERIES.update(
+    {
+        "semdedup_verdicts": (q_semdedup_verdicts, SQL_SEMDEDUP_VERDICTS),
+        "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),
+    }
+)

@@ -906,3 +906,176 @@ def test_minhash_fast_path_matches_md5_variant(spark, sf_dir):
     mp = sorted((r["doc_id_a"], r["doc_id_b"]) for r in md5v.collect())
     assert len(fp) > 0
     assert fp == mp
+
+
+def test_semantic_dedup_known_answer(spark):
+    """Hand-verifiable SemDeDup cluster: v0=[1,0], v1≈v0 (cos 0.99995),
+    v2 orthogonal, tau=0.95. keep='low' ranks ascending cent_cos — v2
+    (outlier) first, then v0, then v1 (most prototypical) — so pair
+    (v0,v1)'s later-ranked member v1 is the drop; keep='high' flips the
+    rank order inside the pair, so v0 drops instead."""
+    from inspectehr_spark.ann import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.999, 0.01], 0),
+        (2, [0.0, 1.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    low = {
+        r["vec_id"]: r["is_semantic_dup"]
+        for r in semantic_dedup(emb, threshold=0.95, keep="low").collect()
+    }
+    assert low == {0: False, 1: True, 2: False}
+    high = {
+        r["vec_id"]: r["is_semantic_dup"]
+        for r in semantic_dedup(emb, threshold=0.95, keep="high").collect()
+    }
+    assert high == {0: True, 1: False, 2: False}
+
+
+def test_semantic_dedup_many_pairless_cells_one_partition(spark):
+    """Regression: the arrow cell kernel returns a SHARED empty frame for
+    pair-less cells; the arrow_bkt wrapper must not mutate it in place
+    (.insert of the cid key), or the SECOND empty cell processed by the
+    same Python worker dies with 'cannot insert cid, already exists'.
+    Force all cells into one shuffle partition so one worker sees them
+    all sequentially."""
+    from inspectehr_spark.ann import semantic_dedup
+
+    rows = []
+    for cid in range(6):  # every cluster: 2 orthogonal vectors -> no pairs
+        rows.append((2 * cid, [1.0, 0.0], cid))
+        rows.append((2 * cid + 1, [0.0, 1.0], cid))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        out = semantic_dedup(emb, threshold=0.95, keep="low").collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert len(out) == 12
+    assert all(r["is_semantic_dup"] is False for r in out)
+
+
+def test_semantic_dedup_cap_overflow_null_and_false(spark):
+    """Rows beyond bucket_cap leave the dedup's scope — NULL cent_cos,
+    FALSE flag (the never-silent cap contract: a real run logs them via
+    near_dup_cell_stats) — while the centroid still reflects the FULL
+    cluster (it's computed before capping, like the oracle)."""
+    from inspectehr_spark.ann import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.999, 0.01], 0),
+        (2, [0.0, 1.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, threshold=0.95, bucket_cap=2).collect()}
+    assert out[2]["cent_cos"] is None and out[2]["is_semantic_dup"] is False
+    assert out[1]["is_semantic_dup"] is True          # (v0,v1) still a pair
+    assert out[0]["is_semantic_dup"] is False
+    assert len(out) == 3                               # every input row present
+
+
+def test_semantic_dedup_matches_serial_reference(spark):
+    """Distributed verdicts == a serial numpy replay of the published
+    SemDeDup rule (sort cluster by cent-cos, drop i iff any earlier j has
+    cos(i,j) >= tau) on seeded random clusters — chain cases (a~b, b~c,
+    a!~c) arise naturally and verify the rank-based (not survival-based)
+    drop semantics."""
+    import numpy as np
+
+    from inspectehr_spark.ann import _round6, semantic_dedup
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for cid in range(3):
+        base = rng.normal(size=4)
+        for i in range(40):
+            # half the rows are jittered copies of the cluster base —
+            # dense near-dup structure with chains
+            if i % 2:
+                v = base + rng.normal(scale=0.15, size=4)
+            else:
+                v = rng.normal(size=4)
+            rows.append((cid * 100 + i, [float(x) for x in v], cid))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    tau = 0.9
+    got = {
+        r["vec_id"]: r["is_semantic_dup"]
+        for r in semantic_dedup(emb, threshold=tau, keep="low").collect()
+    }
+
+    want = {}
+    for cid in range(3):
+        mem = [(vid, np.array(v)) for vid, v, c in rows if c == cid]
+        V = np.stack([v for _, v in mem])
+        cent = np.array([_round6(float(x)) for x in V.mean(axis=0)])
+        cc = [
+            _round6(float((v @ cent) / (np.linalg.norm(v) * np.linalg.norm(cent))))
+            for _, v in mem
+        ]
+        order = sorted(range(len(mem)), key=lambda i: (cc[i], mem[i][0]))
+        for pos, i in enumerate(order):
+            vid_i, vi = mem[i]
+            dup = any(
+                _round6(
+                    float(
+                        (vi @ mem[j][1])
+                        / (np.linalg.norm(vi) * np.linalg.norm(mem[j][1]))
+                    )
+                )
+                >= tau
+                for j in order[:pos]
+            )
+            want[vid_i] = dup
+    assert got == want
+    assert any(want.values()) and not all(want.values())
+
+
+def test_temperature_sample_deterministic_and_clamped(spark):
+    """Rates follow n^alpha apportionment with the tail group clamped to
+    rate 1 (all kept); verdicts are a pure function of the id (identical
+    under repartitioning); realized kept totals track the expectation."""
+    from inspectehr_spark.operators.sampling import temperature_sample
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "CASE WHEN id < 1900 THEN 'big' ELSE 'small' END AS g"
+    )
+    out = temperature_sample(df, "g", target_total=1000, alpha=0.3)
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["g"], []).append(r)
+    # small group: rate clamps to 1.0 → every row kept
+    assert all(r["keep_rate"] == 1.0 and r["keep"] for r in by["small"])
+    # big group: rate = 1000·w/1900 ≈ 0.372, realized within binomial noise
+    big_rate = by["big"][0]["keep_rate"]
+    assert 0.30 < big_rate < 0.45
+    kept_big = sum(r["keep"] for r in by["big"])
+    import math
+
+    sd = math.sqrt(1900 * big_rate * (1 - big_rate))
+    assert abs(kept_big - 1900 * big_rate) < 5 * sd
+
+    again = {
+        r["doc_id"]: r["keep"]
+        for r in temperature_sample(
+            df.repartition(13), "g", target_total=1000, alpha=0.3
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["keep"] for r in rows}
+
+
+def test_temperature_sample_alpha_one_uniform(spark):
+    """alpha=1 degenerates to a single global rate target/total — every
+    group gets the same keep_rate (the no-rebalancing identity)."""
+    from inspectehr_spark.operators.sampling import temperature_sample
+
+    df = spark.range(0, 1200).selectExpr("id AS doc_id", "id % 4 AS g")
+    rates = {
+        r["g"]: r["keep_rate"]
+        for r in temperature_sample(df, "g", target_total=600, alpha=1.0).collect()
+    }
+    assert set(rates.values()) == {0.5}

@@ -273,3 +273,26 @@ def test_shingle_dup_coverage_hash_keyed(spark, sf_dir):
             if k.isdigit():  # trailing numPartitions operand
                 continue
             assert k in ("gh", "doc_id", "_gh"), (k, m)
+
+
+def test_temperature_sample_broadcast_rates_no_wide_corpus_shuffle(spark, sf_dir):
+    """The per-group rate table joins back BROADCAST; the only hash
+    exchanges are the two tiny aggregations (group counts + the scalar
+    normalizer) — the corpus itself is never shuffled, so the op stays
+    scan-speed at 10^12 docs."""
+    fn, _ = QUERIES["temperature_sample"]
+    df = fn(spark, sf_dir)
+    assert inspect.has_broadcast_join(df)
+    assert not inspect.has_cartesian(df)
+    assert "SortMergeJoin" not in inspect.formatted_plan(df)
+    assert inspect.exchange_count(df) <= 2, inspect.formatted_plan(df)
+
+
+def test_semdedup_broadcast_centroids_and_verdict(spark, sf_dir):
+    """SemDeDup's wide-table joins (centroid onto corpus, loser-set onto
+    corpus) are both broadcast; cluster-keyed work (rank window + pair
+    kernel) shuffles on the small cell key only, never a cartesian."""
+    fn, _ = QUERIES["semdedup_verdicts"]
+    df = fn(spark, sf_dir)
+    assert inspect.has_broadcast_join(df)
+    assert not inspect.has_cartesian(df)
