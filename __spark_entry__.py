@@ -24,11 +24,15 @@ SF0001 = "/root/testdata/sf0.001"
 # so this list can't break the contract.
 _DRIVER_PRIORITY = [
     # NEW r6 — PSL eTLD+1, the xxhash64 MinHash scale path (rows-only),
-    # SemDeDup semantic dedup, temperature-rebalanced sampling
+    # SemDeDup semantic dedup, temperature-rebalanced sampling, DSIR
+    # importance weights, ExactSubstr span dedup, language deciles
     "psl_registered_domain",
     "minhash_lsh_pairs_fast",
     "semdedup_verdicts",
     "temperature_sample",
+    "dsir_logw",
+    "substring_dup_spans",
+    "lang_quality_deciles",
     # freshest driver row is r4 — these carry the r5 snapshot-protocol
     # and review fixes (plus any r6 refactors) driver-unverified; they
     # lead so that after r6 every registry query has a row <=2 rounds old

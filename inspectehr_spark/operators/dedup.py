@@ -654,3 +654,72 @@ def shingle_dup_coverage(
             .alias("dup_coverage"),
         )
     )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    hop: int = 32,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """ExactSubstr-style duplicate detection (Lee et al. 2021,
+    arXiv:2107.06499 §4.1): flag documents that share a long verbatim
+    character span with ANOTHER document. The paper's suffix array finds
+    every >= 50-token overlap; the distributed approximation hashes
+    fixed-width character windows at a fixed hop — two documents sharing
+    a span of >= window+hop chars are guaranteed to share at least one
+    ALIGNED window start in one of them... not in general for arbitrary
+    offsets, so this detector is exact for copy-paste/mirror duplication
+    (spans copied with the surrounding text, the dominant web case — the
+    fixture's word-shuffled near-dups share 170 aligned windows at
+    sf0.01) and probabilistic for re-flowed text; tighten `hop` toward 1
+    to approach offset-exactness at linearly more hashes per doc.
+
+    Per doc: n_windows (distinct window hashes), n_shared (of those, how
+    many appear in >= 2 distinct docs), has_shared_span. Docs shorter
+    than `window` have zero windows and FALSE — out of the detector's
+    scope by construction (min-length rules catch them first).
+
+    Plan shape: sequence/explode to (doc_id, h) → dropDuplicates (a doc
+    repeating ITS OWN span is within-doc repetition, webrules' job, not
+    cross-doc dup) → hash-keyed count agg → join back on the SAME hash
+    key (exchange reused) → doc-keyed agg. The shuffle key is the window
+    hash, never the text. `hash_fn="md5"` is the oracle-replay contract;
+    "xxhash64" halves shuffle width (BIGINT key) for deployments — the
+    same twin pattern as minhash_lsh_pairs_fast.
+
+    Reference analog: R/evaluate_duplication.R flags only coincident-key
+    duplicates; cross-document verbatim spans are the web-corpus
+    generalization (SURVEY §8)."""
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    L = F.length(F.col(text_col))
+    pos = F.when(
+        L >= window, F.sequence(F.lit(1), L - (window - 1), F.lit(hop))
+    ).otherwise(F.array().cast("array<int>"))
+    win = F.expr(f"substring({text_col}, _p, {window})")
+    h = F.md5(win) if hash_fn == "md5" else F.xxhash64(win)
+    wins = (
+        df.select(id_col, text_col)
+        .withColumn("_pos", pos)
+        .select(id_col, text_col, F.explode("_pos").alias("_p"))
+        .select(id_col, h.alias("_h"))
+        .dropDuplicates([id_col, "_h"])
+    )
+    per_hash = wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_docs"))
+    per_doc = (
+        wins.join(per_hash, on="_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("_docs") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .na.fill({"n_windows": 0, "n_shared": 0})
+        .withColumn("has_shared_span", F.col("n_shared") > 0)
+    )

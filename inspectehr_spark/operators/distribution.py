@@ -264,3 +264,49 @@ def psi_by_group(
         )
         .select(F.col("_g").alias(group_col), "psi")
     )
+
+
+def grouped_quantile_assign(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    out_col: str = "q_bucket",
+) -> DataFrame:
+    """Assign each row its within-group quantile bucket (1..len(probs)+1)
+    by comparing against per-group quantile THRESHOLDS — the FineWeb-style
+    'top X% by quality score within each language' normalization, shaped
+    for scale: a naive percent_rank/ntile window needs a full sort of
+    every group partition (one straggler task per hot language at web
+    scale); this instead computes the len(probs) exact cut points per
+    group with ONE partial agg (Spark's sort-based `percentile`, R-7
+    interpolation — the definition DuckDB's quantile_cont shares, proven
+    by the value_percentiles oracle), BROADCASTS the tiny
+    (groups × probs) threshold table back, and buckets each row with a
+    pure projection — the corpus is never shuffled. At 10^12 rows swap
+    `percentile` for approx_percentile + an error budget (the
+    value_percentiles scale note); thresholds round to 6dp first so
+    bucket edges replay exactly in the oracle.
+
+    Bucket rule: 1 + count(thresholds strictly below the value) — ties
+    land in the LOWER bucket on both engines.
+
+    Reference analog: evaluate_distribution's per-site score ranking
+    (R/evaluate_distribution.R:86-147) generalized to within-group
+    quantile normalization (SURVEY §8)."""
+    qs = F.array(*[F.lit(float(p)) for p in probs])
+    thr = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col).cast("double"), qs).alias("_qs")
+    )
+    thr = thr.select(
+        group_col, F.transform("_qs", lambda q: F.round(q, 6)).alias("_qs")
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(F.broadcast(thr), on=group_col)
+        .withColumn(
+            out_col,
+            (F.size(F.filter("_qs", lambda q: v > q)) + 1).cast("int"),
+        )
+        .drop("_qs")
+    )

@@ -795,6 +795,7 @@ from inspectehr_spark.queries_r5 import R5_QUERIES  # noqa: E402
 from inspectehr_spark.queries_r5b import R5B_QUERIES  # noqa: E402
 from inspectehr_spark.queries_r5c import R5C_QUERIES  # noqa: E402
 from inspectehr_spark.queries_r6 import R6_QUERIES  # noqa: E402
+from inspectehr_spark.queries_r6b import R6B_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(EPISODE_QUERIES)
@@ -805,3 +806,4 @@ QUERIES.update(R5_QUERIES)
 QUERIES.update(R5B_QUERIES)
 QUERIES.update(R5C_QUERIES)
 QUERIES.update(R6_QUERIES)
+QUERIES.update(R6B_QUERIES)

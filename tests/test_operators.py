@@ -1079,3 +1079,75 @@ def test_temperature_sample_alpha_one_uniform(spark):
         for r in temperature_sample(df, "g", target_total=600, alpha=1.0).collect()
     }
     assert set(rates.values()) == {0.5}
+
+
+def test_dsir_target_affinity_and_zero_gram(spark):
+    """Docs built from target-corpus vocabulary score strictly higher
+    than docs from disjoint vocabulary; a doc with <2 tokens has zero
+    grams and scores exactly 0; scores are partition-invariant (BIGINT
+    micro-unit sums commute)."""
+    from pyspark.sql import functions as F
+
+    from inspectehr_spark.operators.dsir import dsir_log_weights
+
+    rows = [(i, "alpha beta gamma delta alpha beta", "tgt") for i in range(8)]
+    rows += [(10 + i, "omega psi chi phi omega psi", "raw") for i in range(8)]
+    rows += [(30, "alpha beta gamma delta", "raw"),   # target-like raw doc
+             (31, "omega psi chi phi", "raw"),        # raw-like raw doc
+             (32, "solo", "raw")]                     # 1 token -> 0 grams
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(df, F.col("src") == "tgt").collect()
+    }
+    assert out[30]["dsir_logw"] > out[31]["dsir_logw"]
+    assert out[32]["n_grams"] == 0 and out[32]["score_micro"] == 0
+    again = {
+        r["doc_id"]: r["score_micro"]
+        for r in dsir_log_weights(
+            df.repartition(7), F.col("src") == "tgt"
+        ).collect()
+    }
+    assert again == {k: v["score_micro"] for k, v in out.items()}
+
+
+def test_substring_dup_stats_planted_and_short(spark):
+    """Two docs sharing their full text produce shared spans at every
+    aligned window; a unique doc shares none; a doc shorter than the
+    window has zero windows and FALSE; the xxhash64 deployment twin
+    produces the identical verdict set."""
+    shared = ("the quick brown fox jumps over the lazy dog again and again "
+              "until the sentence is comfortably longer than one window")
+    rows = [
+        (1, shared),
+        (2, shared),
+        (3, "an entirely different document body that is also long enough "
+            "to produce several sliding windows of its very own text"),
+        (4, "too short"),
+    ]
+    from inspectehr_spark.operators.dedup import substring_dup_stats
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hf in ("md5", "xxhash64"):
+        out = {
+            r["doc_id"]: r
+            for r in substring_dup_stats(df, hash_fn=hf).collect()
+        }
+        assert out[1]["has_shared_span"] and out[2]["has_shared_span"]
+        assert out[1]["n_shared"] == out[1]["n_windows"] > 0
+        assert not out[3]["has_shared_span"] and out[3]["n_windows"] > 0
+        assert out[4]["n_windows"] == 0 and not out[4]["has_shared_span"]
+
+
+def test_grouped_quantile_assign_known_answer(spark):
+    """Values 1..10 in one group split one per decile bucket (strict
+    '>' puts each exact threshold tie in the LOWER bucket); a constant
+    group collapses into bucket 1."""
+    from inspectehr_spark.operators.distribution import grouped_quantile_assign
+
+    rows = [(i, "a", float(i)) for i in range(1, 11)]
+    rows += [(100 + i, "b", 7.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r["id"]: r["q_bucket"] for r in grouped_quantile_assign(df, "g", "v").collect()}
+    assert [out[i] for i in range(1, 11)] == list(range(1, 11))
+    assert all(out[100 + i] == 1 for i in range(4))

@@ -296,3 +296,49 @@ def test_semdedup_broadcast_centroids_and_verdict(spark, sf_dir):
     df = fn(spark, sf_dir)
     assert inspect.has_broadcast_join(df)
     assert not inspect.has_cartesian(df)
+
+
+def test_dsir_broadcast_ratio_table_and_hash_keyed_exchanges(spark, sf_dir):
+    """DSIR's corpus-side joins (the <=B-row micro-ratio table) are
+    broadcast; wide exchanges key on the feature bucket or the doc id
+    only — document text never partitions."""
+    import re
+
+    fn, _ = QUERIES["dsir_logw"]
+    df = fn(spark, sf_dir)
+    assert inspect.has_broadcast_join(df)
+    plan = inspect.formatted_plan(df)
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = [a.split("#")[0].strip() for a in m.split(",")]
+        for k in keys:
+            if k.isdigit():
+                continue
+            assert k in ("bucket", "doc_id"), (k, m)
+
+
+def test_lang_quality_deciles_broadcast_thresholds(spark, sf_dir):
+    """The per-language threshold table joins back BROADCAST and the only
+    hash exchange is the tiny percentile agg — no percent_rank window
+    sort over the (skewed) language partition, no corpus shuffle."""
+    fn, _ = QUERIES["lang_quality_deciles"]
+    df = fn(spark, sf_dir)
+    assert inspect.has_broadcast_join(df)
+    assert not inspect.has_cartesian(df)
+    plan = inspect.formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert inspect.exchange_count(df) <= 2, plan
+
+
+def test_substring_dup_spans_hash_keyed_exchanges(spark, sf_dir):
+    """Every exchange in the span detector keys on the window hash or the
+    doc id — the text itself never enters a shuffle key."""
+    import re
+
+    fn, _ = QUERIES["substring_dup_spans"]
+    plan = inspect.formatted_plan(fn(spark, sf_dir))
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = [a.split("#")[0].strip() for a in m.split(",")]
+        for k in keys:
+            if k.isdigit():
+                continue
+            assert k in ("_h", "doc_id"), (k, m)
