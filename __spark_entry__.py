@@ -33,6 +33,8 @@ _DRIVER_PRIORITY = [
     "dsir_logw",
     "substring_dup_spans",
     "lang_quality_deciles",
+    "pii_profile",
+    "lang_token_fertility",
     # freshest driver row is r4 — these carry the r5 snapshot-protocol
     # and review fixes (plus any r6 refactors) driver-unverified; they
     # lead so that after r6 every registry query has a row <=2 rounds old

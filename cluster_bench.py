@@ -46,15 +46,15 @@ from inspectehr_spark.pipeline.run import flag_exact_duplicates
 from pyspark.sql import functions as F
 
 cores_max, pages_path, pyzip = sys.argv[1], sys.argv[2], sys.argv[3]
+salt = int(sys.argv[4])  # SAME partitioning at every level: identical job
 spark = get_spark(app_name=f"engine-{{cores_max}}", master={master!r},
-                  shuffle_partitions=int(cores_max),
+                  shuffle_partitions=salt,
                   extra_conf={{"spark.executor.cores": "2",
                               "spark.executor.memory": "4g",
                               "spark.cores.max": cores_max,
                               "spark.submit.pyFiles": pyzip}})
 pages = spark.read.parquet(pages_path)
-pages = pages.repartition(int(cores_max) * 8,
-                          F.pmod(F.xxhash64("url"), F.lit(int(cores_max) * 8)))
+pages = pages.repartition(salt, F.pmod(F.xxhash64("url"), F.lit(salt)))
 toks = F.col("_toks")
 df = (pages.withColumn("text_x", F.col("html").cast("string"))
       .withColumn("_toks", F.filter(F.split(F.col("text_x"), " "), lambda t: t != ""))
@@ -82,8 +82,9 @@ from inspectehr_spark.session import get_spark
 from inspectehr_spark.pipeline.run import run_pipeline
 
 cores_max, pages_path, pyzip, out = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+salt = int(sys.argv[5])
 spark = get_spark(app_name=f"pipe-{{cores_max}}", master={master!r},
-                  shuffle_partitions=int(cores_max),
+                  shuffle_partitions=salt,
                   extra_conf={{"spark.executor.cores": "2",
                               "spark.executor.memory": "4g",
                               "spark.cores.max": cores_max,
@@ -93,7 +94,7 @@ if os.path.exists(out):
     shutil.rmtree(out)
 t0 = time.perf_counter()
 stats = run_pipeline(spark, pages_path, out, resume=False,
-                     salt_partitions=int(cores_max) * 8)
+                     salt_partitions=salt)
 wall = time.perf_counter() - t0
 print(json.dumps({{"mode": "pipeline", "cores": int(cores_max),
                    "wall_sec": round(wall, 2), "rows": stats["rows"],
@@ -119,6 +120,25 @@ def _wait_for(log: str, needle: str, timeout: float = 40.0) -> None:
     raise SystemExit(f"timed out waiting for {needle!r} in {log}")
 
 
+def _calibrate() -> float:
+    """Single-thread host-speed probe: SHA-256 over a 1 MiB buffer for
+    ~0.5 s, reported as hashes/sec. The sandbox shares a host whose CPU
+    availability swings 4-5× between windows (r6 observed walls of 58 s
+    and 231 s for the IDENTICAL 1-exec job); a probe before each arm
+    makes those windows visible in the data, so paired ratios can be
+    qualified by how comparable their two arms' host states were instead
+    of guessed at from the walls themselves."""
+    import hashlib
+
+    buf = b"x" * (1 << 20)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 0.5:
+        hashlib.sha256(buf).digest()
+        n += 1
+    return round(n / (time.perf_counter() - t0), 1)
+
+
 def _run(runner: str, argv: list[str]) -> dict:
     proc = subprocess.run([sys.executable, "-c", runner] + argv,
                           capture_output=True, text=True, timeout=3600)
@@ -136,6 +156,12 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--pages", default=None)
     ap.add_argument("--out-md", default="BENCH_cluster.md")
+    # SAME physical job at both levels (the criterion compares cluster
+    # sizes, not plans): a cores-scaled partition count makes the high
+    # level pay 4x the per-task Python-worker fixed overhead on 4x more,
+    # smaller Arrow batches — a harness artifact, not a pipeline property.
+    # Default = 8 partitions per core at the TOP level, shared by all.
+    ap.add_argument("--salt-partitions", type=int, default=None)
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -183,12 +209,17 @@ def main() -> None:
                     f"0-{cores - 1}", wlog)
                 _wait_for(wlog, "registered with master")
                 try:
-                    r = _run(engine_runner, [str(cores), pages, pyzip])
+                    cal = _calibrate()
+                    results[cores].setdefault("cal", []).append(cal)
+                    salt = args.salt_partitions or max(levels) * 8
+                    r = _run(engine_runner,
+                             [str(cores), pages, pyzip, str(salt)])
                     results[cores]["engine"].append(r["wall_sec"])
                     print(f"rep{rep} engine {cores}c/{cores//2}exec: "
-                          f"{r['wall_sec']}s", file=sys.stderr)
+                          f"{r['wall_sec']}s (cal {cal}/s)", file=sys.stderr)
                     out = os.path.join(workdir, f"out_{cores}_{rep}")
-                    r = _run(pipe_runner, [str(cores), pages, pyzip, out])
+                    r = _run(pipe_runner,
+                             [str(cores), pages, pyzip, out, str(salt)])
                     results[cores]["pipeline"].append(r["wall_sec"])
                     print(f"rep{rep} pipeline {cores}c/{cores//2}exec: "
                           f"{r['wall_sec']}s {r['timings']}", file=sys.stderr)
@@ -203,7 +234,9 @@ def main() -> None:
     factor = hi / lo
     pairs = [(a, b) for i, a in enumerate(levels) for b in levels[i + 1:]]
     summary = {"metric": "executor_scaling", "docs": args.docs,
-               "executors": {c: c // 2 for c in levels}, "modes": {}}
+               "executors": {c: c // 2 for c in levels},
+               "cal_hps": {c: results[c].get("cal", []) for c in levels},
+               "modes": {}}
     for mode in ("engine", "pipeline"):
         best = {c: min(results[c][mode]) for c in levels}
         eff_pairs = {

@@ -796,6 +796,7 @@ from inspectehr_spark.queries_r5b import R5B_QUERIES  # noqa: E402
 from inspectehr_spark.queries_r5c import R5C_QUERIES  # noqa: E402
 from inspectehr_spark.queries_r6 import R6_QUERIES  # noqa: E402
 from inspectehr_spark.queries_r6b import R6B_QUERIES  # noqa: E402
+from inspectehr_spark.queries_r6c import R6C_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(EPISODE_QUERIES)
@@ -807,3 +808,4 @@ QUERIES.update(R5B_QUERIES)
 QUERIES.update(R5C_QUERIES)
 QUERIES.update(R6_QUERIES)
 QUERIES.update(R6B_QUERIES)
+QUERIES.update(R6C_QUERIES)

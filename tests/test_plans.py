@@ -342,3 +342,20 @@ def test_substring_dup_spans_hash_keyed_exchanges(spark, sf_dir):
             if k.isdigit():
                 continue
             assert k in ("_h", "doc_id"), (k, m)
+
+
+def test_pii_profile_pure_projection(spark, sf_dir):
+    """Typed PII counts are scan → project: zero exchanges, zero UDFs —
+    scan-speed at any corpus size."""
+    fn, _ = QUERIES["pii_profile"]
+    df = fn(spark, sf_dir)
+    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+    assert "Python" not in inspect.formatted_plan(df)
+
+
+def test_lang_token_fertility_single_bounded_agg(spark, sf_dir):
+    """Fertility is one partial agg over a language-bounded key — a
+    single exchange, no joins."""
+    fn, _ = QUERIES["lang_token_fertility"]
+    df = fn(spark, sf_dir)
+    assert inspect.exchange_count(df) <= 1, inspect.formatted_plan(df)
