@@ -160,7 +160,9 @@ def main() -> None:
     # sizes, not plans): a cores-scaled partition count makes the high
     # level pay 4x the per-task Python-worker fixed overhead on 4x more,
     # smaller Arrow batches — a harness artifact, not a pipeline property.
-    # Default = 8 partitions per core at the TOP level, shared by all.
+    # Default = 2 partitions per core at the TOP level, shared by all
+    # (the measured best operating point for both arms; see
+    # BENCH_cluster.md round-6 audit).
     ap.add_argument("--salt-partitions", type=int, default=None)
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
@@ -211,7 +213,7 @@ def main() -> None:
                 try:
                     cal = _calibrate()
                     results[cores].setdefault("cal", []).append(cal)
-                    salt = args.salt_partitions or max(levels) * 8
+                    salt = args.salt_partitions or max(levels) * 2
                     r = _run(engine_runner,
                              [str(cores), pages, pyzip, str(salt)])
                     results[cores]["engine"].append(r["wall_sec"])
