@@ -140,13 +140,45 @@ def _calibrate() -> float:
 
 
 def _run(runner: str, argv: list[str]) -> dict:
-    proc = subprocess.run([sys.executable, "-c", runner] + argv,
-                          capture_output=True, text=True, timeout=3600)
+    """Run an arm while a low-duty sampler thread (0.2 s sha256 probe
+    every 5 s ≈ 4% of one of 32 cores) records host speed DURING the
+    arm — the r6 audit showed steal arrives mid-arm, invisible to a
+    start-only probe. The result carries cal_during (mean probe rate),
+    letting the analysis normalize walls by actual host speed."""
+    import threading
+
+    samples: list[float] = []
+    stop = threading.Event()
+
+    def sampler():
+        import hashlib
+
+        buf = b"x" * (1 << 20)
+        while not stop.is_set():
+            t0 = time.perf_counter()
+            n = 0
+            while time.perf_counter() - t0 < 0.2:
+                hashlib.sha256(buf).digest()
+                n += 1
+            samples.append(n / (time.perf_counter() - t0))
+            stop.wait(5)
+
+    th = threading.Thread(target=sampler, daemon=True)
+    th.start()
+    try:
+        proc = subprocess.run([sys.executable, "-c", runner] + argv,
+                              capture_output=True, text=True, timeout=3600)
+    finally:
+        stop.set()
+        th.join(timeout=2)
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if not lines:
         print(proc.stdout[-3000:], proc.stderr[-3000:], file=sys.stderr)
         raise SystemExit("runner failed")
-    return json.loads(lines[-1])
+    out = json.loads(lines[-1])
+    if samples:
+        out["cal_during"] = round(sum(samples) / len(samples), 1)
+    return out
 
 
 def main() -> None:
@@ -217,14 +249,20 @@ def main() -> None:
                     r = _run(engine_runner,
                              [str(cores), pages, pyzip, str(salt)])
                     results[cores]["engine"].append(r["wall_sec"])
+                    results[cores].setdefault("cal_engine", []).append(
+                        r.get("cal_during"))
                     print(f"rep{rep} engine {cores}c/{cores//2}exec: "
-                          f"{r['wall_sec']}s (cal {cal}/s)", file=sys.stderr)
+                          f"{r['wall_sec']}s (cal {cal}/s, during "
+                          f"{r.get('cal_during')}/s)", file=sys.stderr)
                     out = os.path.join(workdir, f"out_{cores}_{rep}")
                     r = _run(pipe_runner,
                              [str(cores), pages, pyzip, out, str(salt)])
                     results[cores]["pipeline"].append(r["wall_sec"])
+                    results[cores].setdefault("cal_pipeline", []).append(
+                        r.get("cal_during"))
                     print(f"rep{rep} pipeline {cores}c/{cores//2}exec: "
-                          f"{r['wall_sec']}s {r['timings']}", file=sys.stderr)
+                          f"{r['wall_sec']}s (during {r.get('cal_during')}/s) "
+                          f"{r['timings']}", file=sys.stderr)
                 finally:
                     worker.terminate()
                     worker.wait(timeout=20)
@@ -238,6 +276,11 @@ def main() -> None:
     summary = {"metric": "executor_scaling", "docs": args.docs,
                "executors": {c: c // 2 for c in levels},
                "cal_hps": {c: results[c].get("cal", []) for c in levels},
+               "cal_during": {
+                   c: {"engine": results[c].get("cal_engine", []),
+                       "pipeline": results[c].get("cal_pipeline", [])}
+                   for c in levels
+               },
                "modes": {}}
     for mode in ("engine", "pipeline"):
         best = {c: min(results[c][mode]) for c in levels}
