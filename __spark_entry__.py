@@ -35,6 +35,8 @@ _DRIVER_PRIORITY = [
     "lang_quality_deciles",
     "pii_profile",
     "lang_token_fertility",
+    # first round with a FULL value oracle (was rows-only r1-r5)
+    "pipeline_decisions",
     # freshest driver row is r4 — these carry the r5 snapshot-protocol
     # and review fixes (plus any r6 refactors) driver-unverified; they
     # lead so that after r6 every registry query has a row <=2 rounds old

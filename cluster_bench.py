@@ -11,6 +11,10 @@ Two measured modes per level:
 - `engine`  — the JVM-side stage chain (scan → native text features →
   hash-keyed dup window → noop sink): isolates the engine's plan scaling.
 - `pipeline` — the full quality-filter job (Arrow UDF stages + sinks).
+- `pipeline_native` (--native) — the SAME full job with the model stage
+  compiled to Catalyst (pipeline/models_native.py): bit-identical
+  decisions, zero Python in the plan. Quantifies exactly how much of the
+  pipeline's scaling loss is the pyspark worker socket.
 
 Rationale for reporting both: on this single-kernel sandbox the pyspark
 WORKER protocol is kernel-bound (measured: python workers spend ~76% of
@@ -83,7 +87,8 @@ from inspectehr_spark.pipeline.run import run_pipeline
 
 cores_max, pages_path, pyzip, out = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
 salt = int(sys.argv[5])
-spark = get_spark(app_name=f"pipe-{{cores_max}}", master={master!r},
+model_stage = sys.argv[6] if len(sys.argv) > 6 else "arrow"
+spark = get_spark(app_name=f"pipe-{{model_stage}}-{{cores_max}}", master={master!r},
                   shuffle_partitions=salt,
                   extra_conf={{"spark.executor.cores": "2",
                               "spark.executor.memory": "4g",
@@ -94,9 +99,10 @@ if os.path.exists(out):
     shutil.rmtree(out)
 t0 = time.perf_counter()
 stats = run_pipeline(spark, pages_path, out, resume=False,
-                     salt_partitions=salt)
+                     salt_partitions=salt, model_stage=model_stage)
 wall = time.perf_counter() - t0
-print(json.dumps({{"mode": "pipeline", "cores": int(cores_max),
+print(json.dumps({{"mode": "pipeline" if model_stage == "arrow" else "pipeline_native",
+                   "cores": int(cores_max),
                    "wall_sec": round(wall, 2), "rows": stats["rows"],
                    "docs_per_sec": round(stats["rows"] / wall, 1),
                    "timings": stats.get("timings")}}))
@@ -196,8 +202,15 @@ def main() -> None:
     # (the measured best operating point for both arms; see
     # BENCH_cluster.md round-6 audit).
     ap.add_argument("--salt-partitions", type=int, default=None)
+    # Adds a third arm per rep: the FULL pipeline with the model stage
+    # compiled to Catalyst (pipeline/models_native.py) — bit-identical
+    # decisions, zero Python in the plan. Measures how much N→4N scaling
+    # headroom removing the pyspark worker socket buys on this
+    # shared-kernel sandbox (where that socket is the measured limiter).
+    ap.add_argument("--native", action="store_true")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
+    modes = ["engine", "pipeline"] + (["pipeline_native"] if args.native else [])
     repo = os.path.dirname(os.path.abspath(__file__))
     workdir = tempfile.mkdtemp(prefix="cluster_bench_")
 
@@ -226,7 +239,7 @@ def main() -> None:
     engine_runner = ENGINE_RUNNER.format(repo=repo, master=MASTER_URL)
     pipe_runner = PIPELINE_RUNNER.format(repo=repo, master=MASTER_URL)
     results: dict[int, dict[str, list[float]]] = {
-        c: {"engine": [], "pipeline": []} for c in levels
+        c: {m: [] for m in modes} for c in levels
     }
     try:
         for rep in range(args.reps):
@@ -254,15 +267,19 @@ def main() -> None:
                     print(f"rep{rep} engine {cores}c/{cores//2}exec: "
                           f"{r['wall_sec']}s (cal {cal}/s, during "
                           f"{r.get('cal_during')}/s)", file=sys.stderr)
-                    out = os.path.join(workdir, f"out_{cores}_{rep}")
-                    r = _run(pipe_runner,
-                             [str(cores), pages, pyzip, out, str(salt)])
-                    results[cores]["pipeline"].append(r["wall_sec"])
-                    results[cores].setdefault("cal_pipeline", []).append(
-                        r.get("cal_during"))
-                    print(f"rep{rep} pipeline {cores}c/{cores//2}exec: "
-                          f"{r['wall_sec']}s (during {r.get('cal_during')}/s) "
-                          f"{r['timings']}", file=sys.stderr)
+                    for pmode in [m for m in modes if m != "engine"]:
+                        stage = "native" if pmode == "pipeline_native" else "arrow"
+                        out = os.path.join(workdir, f"out_{pmode}_{cores}_{rep}")
+                        r = _run(pipe_runner,
+                                 [str(cores), pages, pyzip, out, str(salt),
+                                  stage])
+                        results[cores][pmode].append(r["wall_sec"])
+                        results[cores].setdefault(f"cal_{pmode}", []).append(
+                            r.get("cal_during"))
+                        print(f"rep{rep} {pmode} {cores}c/{cores//2}exec: "
+                              f"{r['wall_sec']}s (during "
+                              f"{r.get('cal_during')}/s) {r['timings']}",
+                              file=sys.stderr)
                 finally:
                     worker.terminate()
                     worker.wait(timeout=20)
@@ -277,12 +294,11 @@ def main() -> None:
                "executors": {c: c // 2 for c in levels},
                "cal_hps": {c: results[c].get("cal", []) for c in levels},
                "cal_during": {
-                   c: {"engine": results[c].get("cal_engine", []),
-                       "pipeline": results[c].get("cal_pipeline", [])}
+                   c: {m: results[c].get(f"cal_{m}", []) for m in modes}
                    for c in levels
                },
                "modes": {}}
-    for mode in ("engine", "pipeline"):
+    for mode in modes:
         best = {c: min(results[c][mode]) for c in levels}
         eff_pairs = {
             f"{a}->{b}": round((best[a] / best[b]) / (b / a), 3)
@@ -323,7 +339,7 @@ def main() -> None:
             + " |\n|---|"
             + "---|" * (len(levels) + len(pairs)) + "\n"
         )
-        for mode in ("engine", "pipeline"):
+        for mode in modes:
             m = summary["modes"][mode]
             f.write(
                 f"| {mode} | "
@@ -338,7 +354,7 @@ def main() -> None:
             "\nPaired same-window rep efficiencies (each rep runs BOTH "
             "arms back-to-back, so the ratio is throttle-drift-immune):\n\n"
         )
-        for mode in ("engine", "pipeline"):
+        for mode in modes:
             m = summary["modes"][mode]
             f.write(
                 f"- {mode}: walls "

@@ -308,8 +308,18 @@ def run_pipeline(
     dup_strategy: str = "window",
     tox_terms_path: str | None = None,
     store: "SnapshotStore | None" = None,
+    model_stage: str = "arrow",
 ) -> dict[str, int]:
     """Execute the pipeline; idempotent under resume.
+
+    `model_stage` selects the enrichment implementation: "arrow" (default)
+    is the fused mapInArrow stage — the shape a real fastText/KenLM
+    deployment has, since native C models live behind Python — while
+    "native" swaps in pipeline/models_native.enrich_native, the Catalyst
+    compilation of the same integer-exact models (bit-identical output,
+    tests/test_models_native.py; available whenever the model is
+    weight-table-expressible). Everything downstream — dup flagging,
+    battery, scrub, sinks, resume — is byte-identical between the two.
 
     `tox_terms_path` injects a moderation term list (one term per line,
     spec.load_tox_terms) into the scrub chain's toxicity stage; the PII
@@ -382,9 +392,17 @@ def run_pipeline(
     # before persisting — caching them would multiply the cache footprint
     # for bytes no sink reads.
     pages = pages.drop("text")
+    if model_stage == "native":
+        from inspectehr_spark.pipeline.models_native import enrich_native
+
+        _enrich = enrich_native
+    elif model_stage == "arrow":
+        _enrich = enrich
+    else:
+        raise ValueError(f"unknown model_stage: {model_stage!r}")
     if dup_strategy == "window":
         # one wide pass: the dup window's exchange carries the rows once
-        flagged = failure_flags(flag_exact_duplicates(enrich(pages))).drop(
+        flagged = failure_flags(flag_exact_duplicates(_enrich(pages))).drop(
             "warc_ts", "lang"
         )
         cached = flagged = flagged.persist()
@@ -394,7 +412,7 @@ def run_pipeline(
         # persisted enrichment), broadcast-joined back; the wide rows
         # keep the input (p_date, salt) clustering all the way to the
         # sinks. See flag_exact_duplicates_broadcast for the scale bound.
-        cached = enrich(pages).persist()
+        cached = _enrich(pages).persist()
         flagged = failure_flags(flag_exact_duplicates_broadcast(cached)).drop(
             "warc_ts", "lang"
         )
