@@ -37,6 +37,9 @@ _DRIVER_PRIORITY = [
     "lang_token_fertility",
     # first round with a FULL value oracle (was rows-only r1-r5)
     "pipeline_decisions",
+    # NEW r6: full 11-check battery with MODEL OUTPUTS in the compared
+    # columns (Catalyst-compiled models; CRC32/bigram-argmax SQL replay)
+    "pipeline_decisions_native",
     # freshest driver row is r4 — these carry the r5 snapshot-protocol
     # and review fixes (plus any r6 refactors) driver-unverified; they
     # lead so that after r6 every registry query has a row <=2 rounds old

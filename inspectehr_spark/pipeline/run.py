@@ -243,6 +243,7 @@ def decide(
     flagged: DataFrame,
     checks: tuple[str, ...] = spec.CHECKS,
     scrub_chain: tuple[tuple[str, str], ...] | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """keep = no flag set; first_fail_code = lexicographic min (exactly the
     anti-join semantics — computed column-wise to avoid re-joining).
@@ -250,7 +251,9 @@ def decide(
     `checks` subsets the battery — the analog of the reference running only
     the checks defined for a data class (R/evaluate_events.R:39-87).
     `scrub_chain` injects a custom PII/toxicity chain
-    (spec.build_scrub_chain); default is the spec chain."""
+    (spec.build_scrub_chain); default is the spec chain. `extra_cols`
+    carries named upstream columns (e.g. model outputs) through to the
+    decision projection — still one codegen stage, no re-join."""
     fail_codes = F.array(
         *[
             F.when(F.col(f"f_{code}"), F.lit(code))
@@ -261,6 +264,7 @@ def decide(
     return flagged.select(
         "url",
         "p_date",
+        *extra_cols,
         min_fail.isNull().alias("keep"),
         min_fail.alias("first_fail_code"),
         scrub_text("text_x", chain=scrub_chain).alias("scrubbed_text"),

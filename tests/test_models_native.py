@@ -123,3 +123,37 @@ def test_run_pipeline_native_identical_decisions(spark, tmp_path_factory):
 
     with pytest.raises(ValueError):
         run_pipeline(spark, path, out_n, resume=False, model_stage="nope")
+
+
+def test_native_oracle_crc_replay_assumptions(spark, sf_dir):
+    """The DuckDB full-battery oracle replays zlib.crc32 as a byte-fold
+    over ascii(char) — valid only while the corpus text is ASCII (char
+    codepoint == UTF-8 byte). Assert that invariant on the test tables,
+    and the embedded table against zlib on adversarial tokens."""
+    import os
+    import zlib
+
+    import duckdb
+
+    from inspectehr_spark.queries_noracle import _crc32_table
+
+    con = duckdb.connect()
+    p = os.path.join(sf_dir, "documents.parquet")
+    (nonascii,) = con.execute(
+        f"SELECT max(length(text) <> octet_length(encode(text))::INT) "
+        f"FROM '{p}'"
+    ).fetchone()
+    assert nonascii is False
+
+    tab = "[" + ",".join(map(str, _crc32_table())) + "]"
+    toks = ["", "a", "the", "zzz9", "x" * 64, "mixedCASE", "0 0"]
+    got = dict(con.execute(
+        "SELECT s, CAST(xor(list_reduce(list_prepend(4294967295, "
+        "list_transform(generate_series(1, length(s)), "
+        "i -> ascii(substring(s, i, 1)))), "
+        f"(acc, ch) -> xor(acc >> 8, ({tab})[xor(acc & 255, ch) + 1])), "
+        "4294967295) AS BIGINT) FROM (SELECT unnest(?) AS s)",
+        [toks],
+    ).fetchall())
+    for t in toks:
+        assert got[t] == zlib.crc32(t.encode()), t
