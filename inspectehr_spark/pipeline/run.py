@@ -313,6 +313,7 @@ def run_pipeline(
     tox_terms_path: str | None = None,
     store: "SnapshotStore | None" = None,
     model_stage: str = "arrow",
+    salt_strategy: str = "hash",
 ) -> dict[str, int]:
     """Execute the pipeline; idempotent under resume.
 
@@ -380,11 +381,25 @@ def run_pipeline(
         return {"partitions_processed": 0, "rows": 0, "timings": t}
 
     if salt_partitions:
-        # Giant-HTML skew guard: spread rows uniformly; Arrow batch size
-        # (session conf) bounds per-batch bytes through the UDF stages.
-        pages = pages.repartition(
-            salt_partitions, F.pmod(F.xxhash64("url"), F.lit(salt_partitions))
-        )
+        if salt_strategy == "size":
+            # Hard giant-balance variant (north-rule "size buckets"):
+            # ≤ceil(G/n) giant docs per partition, one extra narrow scan.
+            from inspectehr_spark.operators.skew import (
+                salt_partitions_by_size,
+            )
+
+            pages = salt_partitions_by_size(pages, salt_partitions)
+        elif salt_strategy == "hash":
+            # Giant-HTML skew guard: spread rows uniformly; Arrow batch
+            # size (session conf) bounds per-batch bytes through the UDF
+            # stages. Uniform-in-expectation, zero extra scans — the
+            # default; see operators/skew.py for the hard-bound variant.
+            pages = pages.repartition(
+                salt_partitions,
+                F.pmod(F.xxhash64("url"), F.lit(salt_partitions)),
+            )
+        else:
+            raise ValueError(f"unknown salt_strategy: {salt_strategy!r}")
 
     # Drop dead-weight columns BEFORE the worker boundary, not after:
     # `text` (the raw crawl text) is read by nothing downstream — text_x
