@@ -208,9 +208,20 @@ def main() -> None:
     # headroom removing the pyspark worker socket buys on this
     # shared-kernel sandbox (where that socket is the measured limiter).
     ap.add_argument("--native", action="store_true")
+    # Explicit mode list (overrides --native). Lets a re-run harvest many
+    # reps of the SHORT arms only (engine / pipeline_native) — on a host
+    # with bursty steal, short arms need many samples before one lands in
+    # a clean window, and skipping the 6-11-minute arrow-pipeline arms
+    # makes a 6-rep run affordable.
+    ap.add_argument("--modes", default=None)
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
-    modes = ["engine", "pipeline"] + (["pipeline_native"] if args.native else [])
+    if args.modes:
+        modes = args.modes.split(",")
+    else:
+        modes = ["engine", "pipeline"] + (
+            ["pipeline_native"] if args.native else []
+        )
     repo = os.path.dirname(os.path.abspath(__file__))
     workdir = tempfile.mkdtemp(prefix="cluster_bench_")
 
@@ -259,14 +270,15 @@ def main() -> None:
                     cal = _calibrate()
                     results[cores].setdefault("cal", []).append(cal)
                     salt = args.salt_partitions or max(levels) * 2
-                    r = _run(engine_runner,
-                             [str(cores), pages, pyzip, str(salt)])
-                    results[cores]["engine"].append(r["wall_sec"])
-                    results[cores].setdefault("cal_engine", []).append(
-                        r.get("cal_during"))
-                    print(f"rep{rep} engine {cores}c/{cores//2}exec: "
-                          f"{r['wall_sec']}s (cal {cal}/s, during "
-                          f"{r.get('cal_during')}/s)", file=sys.stderr)
+                    if "engine" in modes:
+                        r = _run(engine_runner,
+                                 [str(cores), pages, pyzip, str(salt)])
+                        results[cores]["engine"].append(r["wall_sec"])
+                        results[cores].setdefault("cal_engine", []).append(
+                            r.get("cal_during"))
+                        print(f"rep{rep} engine {cores}c/{cores//2}exec: "
+                              f"{r['wall_sec']}s (cal {cal}/s, during "
+                              f"{r.get('cal_during')}/s)", file=sys.stderr)
                     for pmode in [m for m in modes if m != "engine"]:
                         stage = "native" if pmode == "pipeline_native" else "arrow"
                         out = os.path.join(workdir, f"out_{pmode}_{cores}_{rep}")
