@@ -120,11 +120,18 @@ def dsir_log_weights(
         num_buckets,
         extra_cols=["_is_tgt"],
     )
-    # ONE conditional agg = both distributions (<= num_buckets rows)
+    # ONE conditional agg = both distributions (<= num_buckets rows).
+    # PERSIST it: the plan references counts twice (under the totals
+    # broadcast and under micro), and without the cache each reference
+    # re-evaluates the WHOLE gram explode+md5 pass — measured at sf1
+    # (50k docs, ~75M grams) the query paid the gram pass three times,
+    # 239 s total. The cached table is <= num_buckets rows; the lazy
+    # persist materializes inside the query's own first job (no eager
+    # action at operator-construction time — the domains.py rule).
     counts = grams.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_n"),
         F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("tgt_n"),
-    )
+    ).persist()
     totals = counts.agg(
         F.sum("raw_n").alias("raw_total"), F.sum("tgt_n").alias("tgt_total")
     )
