@@ -198,9 +198,12 @@ def main() -> None:
     # sizes, not plans): a cores-scaled partition count makes the high
     # level pay 4x the per-task Python-worker fixed overhead on 4x more,
     # smaller Arrow batches — a harness artifact, not a pipeline property.
-    # Default = 2 partitions per core at the TOP level, shared by all
-    # (the measured best operating point for both arms; see
-    # BENCH_cluster.md round-6 audit).
+    # Default = 8 partitions per core at the TOP level, shared by all.
+    # The r6 definitive run proved 2/core (16) CAPS the large arm: two
+    # clean 8c engine windows plateaued at 32 s (2 waves of byte-skewed
+    # tasks; slowest task floors the wall) vs 19.8-20.3 s at 64, while
+    # the 2c arm moved only +8%. Decomposition must be sized for the
+    # LARGEST arm — the rule a 100 TB job follows anyway.
     ap.add_argument("--salt-partitions", type=int, default=None)
     # Adds a third arm per rep: the FULL pipeline with the model stage
     # compiled to Catalyst (pipeline/models_native.py) — bit-identical
@@ -269,7 +272,7 @@ def main() -> None:
                 try:
                     cal = _calibrate()
                     results[cores].setdefault("cal", []).append(cal)
-                    salt = args.salt_partitions or max(levels) * 2
+                    salt = args.salt_partitions or max(levels) * 8
                     if "engine" in modes:
                         r = _run(engine_runner,
                                  [str(cores), pages, pyzip, str(salt)])
