@@ -120,18 +120,29 @@ def dsir_log_weights(
         num_buckets,
         extra_cols=["_is_tgt"],
     )
-    # ONE conditional agg = both distributions (<= num_buckets rows).
-    # PERSIST it: the plan references counts twice (under the totals
-    # broadcast and under micro), and without the cache each reference
-    # re-evaluates the WHOLE gram explode+md5 pass — measured at sf1
-    # (50k docs, ~75M grams) the query paid the gram pass three times,
-    # 239 s total. The cached table is <= num_buckets rows; the lazy
-    # persist materializes inside the query's own first job (no eager
-    # action at operator-construction time — the domains.py rule).
-    counts = grams.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("raw_n"),
-        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("tgt_n"),
-    ).persist()
+    # Collapse the 75M-gram stream to the COMPACT per-(doc, bucket)
+    # occurrence table FIRST and persist that: everything downstream —
+    # the global bucket distributions AND the per-document scores — is
+    # derivable from it, so the expensive explode+md5 gram pass runs
+    # exactly ONCE (r6 measured the naive plan paying it three times at
+    # sf1: the <=B-row counts table sat under two broadcast subplans,
+    # 239 s; persisting counts alone still left two passes, 188 s). The
+    # intermediate is <= docs x min(grams/doc, B) rows of four longs —
+    # map-side combined before the one exchange; at 10^12-doc scale you
+    # would materialize it as a table instead of a cache, but the shape
+    # (one gram pass, bounded rows per doc) is the same. Lazy persist:
+    # no action at operator-construction time (the domains.py rule).
+    per_doc_bucket = (
+        grams.groupBy(id_col, "_is_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .persist()
+    )
+    counts = per_doc_bucket.groupBy("bucket").agg(
+        F.sum("occ").alias("raw_n"),
+        F.sum(F.when(F.col("_is_tgt"), F.col("occ")).otherwise(0)).alias(
+            "tgt_n"
+        ),
+    )
     totals = counts.agg(
         F.sum("raw_n").alias("raw_total"), F.sum("tgt_n").alias("tgt_total")
     )
@@ -149,11 +160,11 @@ def dsir_log_weights(
         .alias("lr_micro"),
     )
     scored = (
-        grams.join(F.broadcast(micro), on="bucket")
+        per_doc_bucket.join(F.broadcast(micro), on="bucket")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("lr_micro").alias("score_micro"),
+            F.sum("occ").alias("n_grams"),
+            F.sum(F.col("occ") * F.col("lr_micro")).alias("score_micro"),
         )
     )
     return (
