@@ -48,6 +48,22 @@ def _weight_map(weights: dict[str, int]) -> Column:
     return F.create_map(*pairs)
 
 
+def _lane_map(profiles: dict[str, dict[str, int]], vocab) -> Column:
+    """ONE literal map bigram → array<long>[n_langs + 1]: per-language
+    weights in LANGS order plus a final vocab-hit lane (always 1 — every
+    key IS a vocab bigram). Catalyst's GetMapValue on a literal map is a
+    LINEAR scan of the entries, so per-bigram cost is one ~|vocab|-entry
+    scan instead of seven (full battery at sf1: 77.6 → 42.6 s);
+    the per-language sums come out of a single zip_with-accumulating
+    aggregate instead of six."""
+    pairs: list[Column] = []
+    for b in sorted(vocab):
+        lanes = [int(profiles[lang].get(b, 0)) for lang in spec.LANGS] + [1]
+        pairs.append(F.lit(b))
+        pairs.append(F.array(*[F.lit(w).cast("long") for w in lanes]))
+    return F.create_map(*pairs)
+
+
 def native_extract_text(html_col: str = "html") -> Column:
     """bytes → utf-8 → first <p>…</p> span → unescape chain, as native
     expressions (spec.extract_text_py semantics; Spark regexp_extract
@@ -81,21 +97,23 @@ def with_native_models(
     staged = staged.withColumn("_bg", bigrams).drop("_ch")
 
     zero = F.lit(0).cast("long")
-    vocab_map = _weight_map({b: 1 for b in vocab})
-    hits = F.aggregate(
+    n_lanes = len(spec.LANGS) + 1
+    lanes0 = F.array(*[zero for _ in range(n_lanes)])
+    lane_map = _lane_map(profiles, vocab)
+    acc = F.aggregate(
         F.col("_bg"),
-        zero,
-        lambda acc, b: acc + F.coalesce(vocab_map[b], zero),
+        lanes0,
+        lambda a, b: F.zip_with(
+            a, F.coalesce(lane_map[b], lanes0), lambda x, y: x + y
+        ),
     )
-    def _score(m: Column) -> Column:
-        return F.aggregate(
-            F.col("_bg"), zero, lambda acc, b: acc + F.coalesce(m[b], zero)
+    staged = staged.withColumn("_acc", acc)
+    staged = staged.withColumn("_hits", F.element_at("_acc", n_lanes))
+    for i, lang in enumerate(spec.LANGS):
+        staged = staged.withColumn(
+            f"_s_{lang}", F.element_at("_acc", i + 1)
         )
-
-    scores = {lang: _score(_weight_map(profiles[lang])) for lang in spec.LANGS}
-    staged = staged.withColumn("_hits", hits)
-    for lang in spec.LANGS:
-        staged = staged.withColumn(f"_s_{lang}", scores[lang])
+    staged = staged.drop("_acc")
     best = F.greatest(*[F.col(f"_s_{lang}") for lang in spec.LANGS])
     # ties → lexicographically smaller code; LANGS is sorted, so the
     # first CASE arm that matches IS the Python argmax tie-break
