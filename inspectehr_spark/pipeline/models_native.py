@@ -11,19 +11,21 @@ compilation: `enrich_native()` produces the exact same
 (pipeline/models.map_extract_score), bit-for-bit (equality asserted in
 tests/test_models_native.py), with ZERO Python in the plan.
 
-Why it exists (BENCH_cluster.md round-6 audit): on a shared-kernel
-sandbox the pyspark worker socket protocol is the pipeline's scaling
-limiter — the JVM-only engine chain scales at ~0.89 N→4N while the
-UDF-bearing pipeline measures ~0.5-0.6 under honest same-window pairing.
-A REAL fastText/KenLM deployment cannot avoid that boundary (native C
-libs behind Python), so the mapInArrow path remains the pipeline's
-primary, criterion-relevant surface — but when the model IS
-weight-table-expressible (distilled/quantized models, rule-based
-classifiers), compiling it JVM-side removes the boundary entirely; the
-`--native` mode of cluster_bench.py measures exactly how much scaling
-headroom that buys. It also unlocks the FULL-battery value oracle:
-with langid/perplexity as deterministic SQL, DuckDB replays every one of
-the 11 checks (queries_noracle.pipeline_decisions_native).
+Why it exists, and what the round-6 measurement actually showed
+(BENCH_cluster.md): the hypothesis was that removing the pyspark worker
+socket would buy N→4N scaling headroom. Measured at the corrected
+64-partition decomposition, the OPPOSITE held: the mapInArrow pipeline
+paired at ~1.0 efficiency in its clean window (vectorized numpy over
+columnar buffers) while this variant plateaued at ~0.70 — the
+interpreted higher-order functions allocate a per-document bigram
+string array, so at high core counts the stage becomes allocation/GC-
+bound. The Arrow stage therefore stays run_pipeline's default
+(model_stage="arrow"); this module remains valuable as (a) the
+zero-Python option where Python workers are unavailable, and (b) the
+enabler of the FULL-battery value oracle: with langid/perplexity as
+deterministic SQL, DuckDB replays every one of the 11 checks
+(queries_noracle.pipeline_decisions_native). cluster_bench.py --native
+measures both claims.
 
 Expression-shape rules observed (the repo-wide HOF discipline,
 operators/dedup.py): arrays a lambda reads are MATERIALIZED columns
