@@ -313,7 +313,10 @@ def test_dsir_broadcast_ratio_table_and_hash_keyed_exchanges(spark, sf_dir):
         for k in keys:
             if k.isdigit():
                 continue
-            assert k in ("bucket", "doc_id"), (k, m)
+            # _is_tgt is a boolean aggregation key introduced by the r6
+            # single-pass restructure (one conditional agg covers both the
+            # target and corpus distributions) — it is not text.
+            assert k in ("bucket", "doc_id", "_is_tgt"), (k, m)
 
 
 def test_lang_quality_deciles_broadcast_thresholds(spark, sf_dir):
