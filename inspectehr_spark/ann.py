@@ -44,6 +44,15 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _lit_double_array(vec) -> "F.Column":
+    """Literal array<double> as ONE parsed SQL expression. The F.array-of-
+    F.lit form costs a py4j round trip per element — for a 64-dim vector
+    times n_centroids that alone dominated query construction. `repr` is
+    the shortest exact round-trip of a double and the `D` suffix forces a
+    DOUBLE literal (a bare decimal parses as DECIMAL in Spark SQL)."""
+    return F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")")
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -53,7 +62,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (id, cos_sim) ordered desc with deterministic
     id tie-break."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_double_array(query_vec)
     staged = emb.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_q", q)
@@ -77,7 +86,7 @@ def bucket_expr(vec_col, planes: list[list[int]]):
     v = vec_col
     out = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
-        h = F.array(*[F.lit(float(x)) for x in plane])
+        h = _lit_double_array(plane)
         bit = F.when(_dot(v, h) >= 0, F.lit(2**b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -136,7 +145,7 @@ def lsh_topk(
         emb, bits=bits, seed=seed, id_col=id_col, vec_col=vec_col, dim=dim
     )
     cands = bucketed.filter(F.col("bucket").isin(*sorted(probes)))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_double_array(query_vec)
     staged = cands.withColumn("_q", q)
     v, qq = F.col("_v"), F.col("_q")
     sim = _dot(v, qq) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qq, qq)))
@@ -206,7 +215,7 @@ def assign_nearest_centroid(
     cand_structs = [
         F.struct(
             F.lit(cid).alias("cid"),
-            F.array(*[F.lit(x) for x in vec]).alias("c"),
+            _lit_double_array(vec).alias("c"),
             F.lit(cn).alias("cn"),
         )
         for cid, vec, cn in cents
@@ -265,7 +274,7 @@ def ivf_topk(
 
     assigned = assign_nearest_centroid(emb, cents, id_col=id_col, vec_col=vec_col)
     cands = assigned.filter(F.col("cid").isin(*probe_cids))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_double_array(query_vec)
     staged = cands.withColumn("_q", q)
     v = F.col("_v")
     sim = _dot(v, F.col("_q")) / (F.col("_vn") * F.sqrt(_dot(F.col("_q"), F.col("_q"))))

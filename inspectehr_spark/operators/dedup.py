@@ -321,9 +321,15 @@ def simhash_hamming_pairs_replayable(
         raise ValueError("band width must divide the 32-bit halves")
     mask = (1 << bandw) - 1
     per_half = 32 // bandw
+    from inspectehr_spark.tables import parallel_scan
+
+    # r7: parallelize the one-file scan before the per-row vote math, and
+    # persist the (two-longs-per-doc) fingerprint table because the banded
+    # self-join consumes it on both sides — the broadcast side defeats
+    # exchange reuse, so without the persist the sketch computed twice
     sh = with_simhash_replayable(
-        df.select(id_col, text_col), text_col=text_col
-    ).select(F.col(id_col).alias("doc_id"), "fp_hi", "fp_lo")
+        parallel_scan(df.select(id_col, text_col)), text_col=text_col
+    ).select(F.col(id_col).alias("doc_id"), "fp_hi", "fp_lo").persist()
 
     def _band(b: int):
         half = F.col("fp_lo") if b < per_half else F.col("fp_hi")
@@ -375,10 +381,18 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate (doc_id_a, doc_id_b) pairs:
-    |A∩B| / |A∪B| over distinct shingle sets via array_intersect/union."""
+    |A∩B| / |A∪B| over distinct shingle sets via array_intersect/union.
+    r7: shingle construction runs over a parallelized scan (a one-file
+    input otherwise hashes every gram on a single core; tables.parallel_scan)
+    and the shingle table is persisted — both joins consume it, and the
+    broadcast side would otherwise recompute the gram pass."""
+    from inspectehr_spark.tables import parallel_scan
+
     sh = with_shingles(
-        df.select(F.col(id_col).alias("doc_id"), text_col), text_col=text_col, n=ngram
-    ).select("doc_id", F.array_distinct("shingles").alias("sh"))
+        parallel_scan(df.select(F.col(id_col).alias("doc_id"), text_col)),
+        text_col=text_col,
+        n=ngram,
+    ).select("doc_id", F.array_distinct("shingles").alias("sh")).persist()
     return (
         candidate_pairs
         .join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")), "doc_id_a")
@@ -515,14 +529,22 @@ def contamination_flags(
     decontamination.
 
     Returns (id_col, n_hits, contaminated) for EVERY corpus doc."""
+    from inspectehr_spark.tables import parallel_scan
+
+    # r7: parallelize both one-file scans before the 8-gram construction
+    # (the corpus side is the dominant cost; guide §2.5 input skew)
     bench_grams = (
-        with_shingles(benchmark, text_col=text_col, n=ngram)
+        with_shingles(
+            parallel_scan(benchmark.select(text_col)), text_col=text_col, n=ngram
+        )
         .select(F.explode("shingles").alias("g"))
         .distinct()
     )
     corpus_grams = (
         with_shingles(
-            corpus.select(F.col(id_col), text_col), text_col=text_col, n=ngram
+            parallel_scan(corpus.select(F.col(id_col), text_col)),
+            text_col=text_col,
+            n=ngram,
         )
         .select(id_col, F.explode(F.array_distinct("shingles")).alias("g"))
     )
@@ -551,24 +573,31 @@ def md5_minhash_signature(
 ) -> DataFrame:
     """(id_col, _sig array<string>[num_hashes]) — MinHash signature with
     ENGINE-REPLAYABLE hashes: h_i(gram) = md5(gram || '|i'), element =
-    lexicographic min over the doc's word n-grams, built in ONE aggregate
-    pass (accumulator = num_hashes running minima; each gram contributes
-    its salted md5s via zip_with/least). 'g' sorts after every hex digit,
-    so it is the identity for least(). Docs with < `ngram` tokens have no
-    shingles and are absent (same in the DuckDB replay).
+    lexicographic min over the doc's word n-grams. Docs with < `ngram`
+    tokens have no shingles and are absent (same in the DuckDB replay).
+    Requires `id_col` to be unique per document (it keys the aggregation).
 
     This is the shared construction behind the `minhash_band_signature`
     and `minhash_lsh_pairs` value oracles (the xxhash64 operators above
     stay the scale path — one 64-bit hash per gram beats an md5 +
-    hex-slice). Single definition on purpose: the construction carries a
-    subtle trap — a `lambda g, i=i:` default-arg capture would be a
-    TWO-parameter lambda, which pyspark HOFs interpret as (element,
-    index); the index Column silently shadows the captured int. Hence the
-    nested-lambda form with the salt built from the bound index variable.
-    """
-    from inspectehr_spark.functions.textfns import word_ngrams
+    hex-slice).
 
-    staged = df.withColumn(
+    Shape (r7): same ONE-aggregate-pass accumulator as r5/r6 (num_hashes
+    running minima folded via zip_with/least; 'g' sorts after every hex
+    digit so it is the identity; the nested-lambda form avoids the
+    `lambda g, i=i:` two-parameter HOF capture trap) — but the input scan
+    is now PARALLELIZED first (tables.parallel_scan): a small table is one
+    file split, so the grams x num_hashes interpreted md5 calls all ran on
+    a single core. Alternatives measured at sf0.1/local[32] and rejected:
+    a 32-column codegen min() aggregation (explode + flat md5 projections)
+    pays ~4 s of agg codegen+exec and a doc-keyed exchange (7.7 s cold vs
+    3.5 s here); a fully-exploded (gram, salt) min pays a 48M-row explode
+    (34 s). The zero-shuffle projection stays the best shape — it just
+    needed the scan width fixed."""
+    from inspectehr_spark.functions.textfns import word_ngrams
+    from inspectehr_spark.tables import parallel_scan
+
+    staged = parallel_scan(df.select(id_col, text_col)).withColumn(
         "_toks", F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     )
     staged = staged.withColumn(
@@ -619,8 +648,11 @@ def shingle_dup_coverage(
     Reference analog: none (R/evaluate_duplication.R flags coincident
     keys only); beyond-reference web-pipeline set, SURVEY §8."""
     from inspectehr_spark.functions.textfns import word_ngrams
+    from inspectehr_spark.tables import parallel_scan
 
-    staged = df.select(
+    # r7: parallelize the one-file scan — the 8-gram construction and
+    # xxhash64 pass otherwise run on the single scan core (guide §2.5)
+    staged = parallel_scan(df.select(id_col, text_col)).select(
         F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_toks")
     )
     staged = staged.withColumn("_grams", word_ngrams(F.col("_toks"), n))
@@ -695,14 +727,18 @@ def substring_dup_stats(
     generalization (SURVEY §8)."""
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    from inspectehr_spark.tables import parallel_scan
+
     L = F.length(F.col(text_col))
     pos = F.when(
         L >= window, F.sequence(F.lit(1), L - (window - 1), F.lit(hop))
     ).otherwise(F.array().cast("array<int>"))
-    win = F.expr(f"substring({text_col}, _p, {window})")
+    # Column-API substring keeps an exotic text column name (dots, spaces)
+    # parseable — F.expr string interpolation was not backtick-safe
+    win = F.col(text_col).substr(F.col("_p"), F.lit(window))
     h = F.md5(win) if hash_fn == "md5" else F.xxhash64(win)
     wins = (
-        df.select(id_col, text_col)
+        parallel_scan(df.select(id_col, text_col))
         .withColumn("_pos", pos)
         .select(id_col, text_col, F.explode("_pos").alias("_p"))
         .select(id_col, h.alias("_h"))

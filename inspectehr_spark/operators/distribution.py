@@ -64,8 +64,13 @@ def ks_pairwise(
     max|F_a - F_b|. Returns (group_a, group_b, ks_stat).
 
     `max_groups` bounds the O(G²) pair fan-out — see `_group_pairs`.
-    """
-    e = ecdf(df, group_col, value_col)
+
+    r7: the ECDF table is persisted — both the group_a and group_b probe
+    sides consume it, and without the persist the counts aggregation and
+    the two cume windows execute twice (once under each join branch). The
+    ECDF is counts-sized (one row per distinct (group, value)), far
+    smaller than the input facts."""
+    e = ecdf(df, group_col, value_col).persist()
     groups = _group_pairs(df, group_col, max_groups)
     pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1 :]]
     spark = df.sparkSession

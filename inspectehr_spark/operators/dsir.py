@@ -112,8 +112,13 @@ def dsir_log_weights(
     The raw distribution is the WHOLE corpus (target included) — the
     paper's formulation scores raw docs against raw stats; excluding the
     target would just shift every weight by a constant."""
+    from inspectehr_spark.tables import parallel_scan
+
+    # r7: parallelize the one-file scan before the gram explosion — the
+    # tokenize + n-gram + md5 bucket pass is the operator's dominant cost
+    # and otherwise runs on the single scan core (guide §2.5 input skew)
     grams = hashed_ngram_buckets(
-        df.select(id_col, text_col, target_pred.alias("_is_tgt")),
+        parallel_scan(df.select(id_col, text_col, target_pred.alias("_is_tgt"))),
         text_col,
         id_col,
         n,

@@ -42,12 +42,19 @@ from pyspark.sql import functions as F
 from inspectehr_spark.pipeline import spec
 
 
+def _sql_str(s: str) -> str:
+    """SQL string literal with backslash + quote escaping (Spark parser)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _weight_map(weights: dict[str, int]) -> Column:
-    pairs: list[Column] = []
-    for b, w in sorted(weights.items()):
-        pairs.append(F.lit(b))
-        pairs.append(F.lit(int(w)).cast("long"))
-    return F.create_map(*pairs)
+    # assembled as ONE SQL string: a map literal built from F.lit pairs
+    # costs 2-3 py4j round trips PER ENTRY at query-construction time —
+    # measured ~3 s of pure driver-side construction for the two maps here
+    entries = ", ".join(
+        f"{_sql_str(b)}, {int(w)}L" for b, w in sorted(weights.items())
+    )
+    return F.expr(f"map({entries})")
 
 
 def _lane_map(profiles: dict[str, dict[str, int]], vocab) -> Column:
@@ -57,13 +64,14 @@ def _lane_map(profiles: dict[str, dict[str, int]], vocab) -> Column:
     LINEAR scan of the entries, so per-bigram cost is one ~|vocab|-entry
     scan instead of seven (full battery at sf1: 77.6 → 42.6 s);
     the per-language sums come out of a single zip_with-accumulating
-    aggregate instead of six."""
-    pairs: list[Column] = []
+    aggregate instead of six. Assembled as one SQL string (see
+    _weight_map) — the per-entry Column form dominated query construction."""
+    parts = []
     for b in sorted(vocab):
         lanes = [int(profiles[lang].get(b, 0)) for lang in spec.LANGS] + [1]
-        pairs.append(F.lit(b))
-        pairs.append(F.array(*[F.lit(w).cast("long") for w in lanes]))
-    return F.create_map(*pairs)
+        arr = ", ".join(f"{w}L" for w in lanes)
+        parts.append(f"{_sql_str(b)}, array({arr})")
+    return F.expr("map(" + ", ".join(parts) + ")")
 
 
 def native_extract_text(html_col: str = "html") -> Column:

@@ -206,8 +206,12 @@ SELECT doc_id, source, lang FROM (
 
 def q_text_features(spark, sf_dir):
     """Gopher/C4-style heuristic features as native column expressions —
-    token count, mean word length, symbol ratio, stopword ratio."""
-    docs = _t(spark, sf_dir, "documents")
+    token count, mean word length, symbol ratio, stopword ratio.
+    r7: scan parallelized (tables.parallel_scan) — the per-row stopword
+    HOF and regexp passes otherwise run on the single scan core."""
+    from inspectehr_spark.tables import parallel_scan
+
+    docs = parallel_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks).cast("long")
     no_space = F.length(F.regexp_replace(F.col("text"), " ", ""))
@@ -243,8 +247,12 @@ FROM documents
 
 def q_langid_heuristic(spark, sf_dir):
     """Stopword-vote language ID (native-SQL fastText stand-in). Ties break
-    to the lexicographically larger language code; no hits → 'und'."""
-    docs = _t(spark, sf_dir, "documents")
+    to the lexicographically larger language code; no hits → 'und'.
+    r7: scan parallelized (tables.parallel_scan) — four stopword-list HOF
+    passes per row otherwise run on the single scan core."""
+    from inspectehr_spark.tables import parallel_scan
+
+    docs = parallel_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.transform(F.split(F.col("text"), " "), lambda t: F.lower(t))
 
     def hits(ws):

@@ -138,10 +138,12 @@ def q_ks_drift(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tot = Window.partitionBy("event_type")
+    # r7: persisted — both probe sides consume the ECDF, and without the
+    # persist the counts agg + cume windows execute twice (counts-sized)
     e = counts.select(
         "event_type", "value",
         (F.sum("c").over(w) / F.sum("c").over(tot)).alias("cdf"),
-    )
+    ).persist()
     types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
     pairs = [(a, b) for i, a in enumerate(types) for b in types[i + 1 :]]
     pairs_df = F.broadcast(

@@ -37,8 +37,14 @@ def q_pipeline_decisions(spark, sf_dir):
     from inspectehr_spark.pipeline.run import (
         decide, enrich, failure_flags, flag_exact_duplicates,
     )
+    from inspectehr_spark.tables import parallel_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    # r7: parallelize the one-file scan before page synthesis — the html
+    # build, mapInArrow model stage and heuristic battery otherwise run in
+    # a single task / single Python worker (guide §2.5)
+    docs = parallel_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text", "lang")
+    )
     body = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
@@ -96,8 +102,13 @@ def q_pipeline_decisions_native(spark, sf_dir):
     from inspectehr_spark.pipeline.run import (
         decide, failure_flags, flag_exact_duplicates,
     )
+    from inspectehr_spark.tables import parallel_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    # r7: parallelize the one-file scan before page synthesis — the
+    # Catalyst model arithmetic otherwise runs on the single scan core
+    docs = parallel_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text", "lang")
+    )
     body = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"

@@ -206,8 +206,11 @@ def q_word_dup_stats(spark, sf_dir):
     counts, duplicate-slot fraction, and duplicate-character mass, computed
     ZERO-shuffle by adjacent comparison over the sorted segment array."""
     from inspectehr_spark.operators.webrules import segment_dup_stats
+    from inspectehr_spark.tables import parallel_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    # r7: scan parallelized — the sort+adjacent-compare per-row pass
+    # otherwise runs on the single scan core
+    docs = parallel_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return segment_dup_stats(docs, "text", sep=" ", prefix="seg").select(
         "doc_id", "seg_total", "seg_distinct", "seg_dup_frac", "seg_dup_char_frac"
     )

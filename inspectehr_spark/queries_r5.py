@@ -72,8 +72,15 @@ def q_simhash_fingerprints(spark, sf_dir):
     variant of dedup.with_simhash + textfns.fingerprint, giving the
     sketch its full value oracle (was rows-only r1-r4). Null-text docs
     are excluded on both sides (see _SIMHASH_SIG_CTE note)."""
+    from inspectehr_spark.tables import parallel_scan
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    out = dedup.with_simhash_replayable(docs, text_col="text")
+    # r7: parallelize the one-file scan before the per-row sketch math
+    # (tables.parallel_scan) — the vote accumulator and the bottom-8 md5
+    # fingerprint are unchanged, they just no longer run on a single core
+    out = dedup.with_simhash_replayable(
+        parallel_scan(docs.select("doc_id", "text")), text_col="text"
+    )
     staged = out.withColumn(
         "_md5", F.transform(F.split(F.col("text"), r"\s+"), lambda t: F.md5(t))
     )
@@ -178,7 +185,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     is ulp-safe. Threshold 0.5 as before (the corpus plants exact dups,
     not near-dups; constructed-near-dup exactness stays unit-tested)."""
     docs = _t(spark, sf_dir, "documents")
-    sig = dedup.md5_minhash_signature(docs, _MH_NUM)
+    # r7: persist the signature table (sketch-sized: one 32-element md5
+    # array per doc) so the md5 construction runs ONCE — the r5 shape
+    # recomputed the full signature subplan under BOTH sides of the banded
+    # self-join (the b side sat under a BroadcastExchange, so no exchange
+    # reuse fired). The heavy _sig arrays also no longer ride through the
+    # band explode / window / join: pairs are decided on (doc_id, band)
+    # alone and the two signatures join back by id for the agreement count.
+    sig = dedup.md5_minhash_signature(docs, _MH_NUM).persist()
     bands = F.array(
         *[
             F.struct(
@@ -194,8 +208,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         ]
     )
     banded = sig.select(
-        "doc_id", "_sig", F.explode(bands).alias("f")
-    ).select("doc_id", "_sig", "f.band_id", "f.band_hash")
+        "doc_id", F.explode(bands).alias("f")
+    ).select("doc_id", "f.band_id", "f.band_hash")
     from pyspark.sql import Window
 
     wb = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
@@ -213,10 +227,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a._sig").alias("_sa"),
-            F.col("b._sig").alias("_sb"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("_sig").alias("_sa")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("_sig").alias("_sb")
     )
     est = (
         F.size(
@@ -226,8 +244,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         )
         / F.lit(_MH_NUM)
     ).alias("est_jaccard")
-    return pairs.select("doc_id_a", "doc_id_b", est).filter(
-        F.col("est_jaccard") >= _MH_THRESHOLD
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", est)
+        .filter(F.col("est_jaccard") >= _MH_THRESHOLD)
     )
 
 

@@ -166,8 +166,10 @@ def q_corpus_top_ngrams(spark, sf_dir):
     gram projection -> two-phase partial agg on the gram string (short,
     bounded keys) -> TakeOrdered(25) — no full sort, no driver loop."""
     from inspectehr_spark.functions.textfns import word_ngrams
+    from inspectehr_spark.tables import parallel_scan
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # r7: parallelize the one-file scan before the trigram explosion
+    docs = parallel_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     staged = docs.withColumn("_toks", F.split("text", r"\s+"))
     staged = staged.withColumn("_grams", word_ngrams(F.col("_toks"), 3))
     g = staged.select("doc_id", F.explode("_grams").alias("gram"))

@@ -558,11 +558,42 @@ def test_connected_components_deep_chain_logarithmic(spark):
     stats: dict = {}
     got = {
         r["node"]: r["component"]
-        for r in connected_components(edges, stats=stats).collect()
+        # threshold 0 forces the iterative path — this test exists to pin
+        # the pointer-doubling round schedule, which the r7 small-graph
+        # union-find path would bypass
+        for r in connected_components(
+            edges, stats=stats, small_graph_threshold=0
+        ).collect()
     }
     assert got == {i: 1 for i in range(1, n + 1)}
     # 2 plain warmup rounds + ~log2(63) doubling rounds; far below 63
     assert stats["rounds"] <= 14, stats
+
+
+def test_connected_components_small_path_matches_iterative(spark):
+    """The r7 single-task union-find path must emit exactly the iterative
+    fixpoint's labels — same nodes, same min-reachable components."""
+    from inspectehr_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (7, 4), (20, 21), (21, 22)],
+        "src long, dst long",
+    )
+    stats_small: dict = {}
+    small = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, stats=stats_small).collect()
+    }
+    assert stats_small["rounds"] == 0  # took the single-task path
+    stats_iter: dict = {}
+    iterative = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, stats=stats_iter, small_graph_threshold=0
+        ).collect()
+    }
+    assert stats_iter["rounds"] > 0
+    assert small == iterative
 
 
 def test_psi_identity_and_shift(spark):
