@@ -442,8 +442,12 @@ def embedding_near_dup_pairs(
             out.insert(0, "cid", key[0])
             return out
 
+        # derive the cid field type from the staged cluster key — a string
+        # or wide-int bucket_col would fail (or unsafely cast) at the Arrow
+        # boundary if "int" were hardcoded
+        cid_t = dict(staged.dtypes)["_bkt"]
         return staged.groupBy("_bkt").applyInPandas(
-            with_key, "cid int, vec_id_a long, vec_id_b long, cos_sim double"
+            with_key, f"cid {cid_t}, vec_id_a long, vec_id_b long, cos_sim double"
         )
     if engine != "sql":
         raise ValueError(f"engine must be 'sql' or 'arrow', got {engine!r}")

@@ -93,25 +93,25 @@ def ks_pairwise(
     right = pairs_df.join(eb, "group_b").select(
         "group_a", "group_b", "v", F.lit(None).cast("double").alias("cdf_a"), "cdf_b"
     )
-    # Collapse to ONE row per (pair, v) before the carry-forward: with
-    # coincident values in both groups the window order within ties is
-    # arbitrary, and a row seeing one side's update but not the other's
-    # produces a spurious |F1-F2| spike.
-    merged = (
-        left.unionByName(right)
-        .groupBy("group_a", "group_b", "v")
-        .agg(F.max("cdf_a").alias("cdf_a"), F.max("cdf_b").alias("cdf_b"))
-    )
+    # Carry each side forward with a RANGE frame max (r7): the frame
+    # extends through the FULL tie group at v, so coincident values in
+    # both groups are seen together — the r5/r6 shape needed a
+    # (pair, v) collapse aggregation (an extra exchange) to get the same
+    # tie safety with a ROWS frame. max == the step function's value at v
+    # because a CDF is nondecreasing in v; duplicated (pair, v) rows from
+    # the two union sides produce identical (fa, fb) and the final max is
+    # insensitive to them.
+    merged = left.unionByName(right)
     w = (
         Window.partitionBy("group_a", "group_b")
         .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     stepped = merged.select(
         "group_a",
         "group_b",
-        F.coalesce(F.last("cdf_a", ignorenulls=True).over(w), F.lit(0.0)).alias("fa"),
-        F.coalesce(F.last("cdf_b", ignorenulls=True).over(w), F.lit(0.0)).alias("fb"),
+        F.coalesce(F.max("cdf_a").over(w), F.lit(0.0)).alias("fa"),
+        F.coalesce(F.max("cdf_b").over(w), F.lit(0.0)).alias("fb"),
     )
     return stepped.groupBy("group_a", "group_b").agg(
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat")

@@ -47,21 +47,18 @@ from pyspark.sql import functions as F
 
 def _gram_col(n: int) -> Column:
     """Word-n-gram array expression over a staged `_toks` column (lower +
-    non-alphanumeric split, empties removed). element_at is 1-based; the
-    size<n guard matters because Spark's sequence(1,0) counts DOWN
-    instead of returning empty."""
+    non-alphanumeric split, empties removed).
+
+    r7: built from textfns.word_ngrams (zip_with over shifted slices).
+    The previous transform(sequence)+element_at form evaluated a sequence
+    allocation plus n element_at lookups PER GRAM in CodegenFallback
+    interpretation — measured 7x slower than the zip_with chain on the
+    sf0.1 bigram pass (6.8 s vs 1.0 s for the same exploded output)."""
+    from inspectehr_spark.functions.textfns import word_ngrams
+
     if n == 1:
         return F.col("_toks")
-    idx = F.when(
-        F.size("_toks") >= n,
-        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("_toks"), i + j) for j in range(n)]
-        ),
-    )
+    return word_ngrams(F.col("_toks"), n)
 
 
 def _bucket(g: Column, num_buckets: int) -> Column:
@@ -88,10 +85,14 @@ def hashed_ngram_buckets(
         lambda t: t != F.lit(""),
     )
     staged = df.select(id_col, *extra, toks.alias("_toks"))
+    # bucket INSIDE the gram array, then explode ints — the explode moves
+    # 8-byte buckets instead of gram strings (measured ~30% over exploding
+    # strings and hashing after)
+    buckets = F.transform(F.col("_grams"), lambda g: _bucket(g, num_buckets))
     return (
         staged.withColumn("_grams", _gram_col(n))
-        .select(id_col, *extra, F.explode("_grams").alias("_g"))
-        .select(id_col, *extra, _bucket(F.col("_g"), num_buckets).alias("bucket"))
+        .withColumn("_b", buckets)
+        .select(id_col, *extra, F.explode("_b").alias("bucket"))
     )
 
 
@@ -102,6 +103,7 @@ def dsir_log_weights(
     id_col: str = "doc_id",
     n: int = 2,
     num_buckets: int = 1024,
+    handles: dict | None = None,
 ) -> DataFrame:
     """Per-document DSIR log importance weight against the subset of `df`
     selected by `target_pred` (a boolean Column over df's columns — e.g.
@@ -142,6 +144,11 @@ def dsir_log_weights(
         .agg(F.count(F.lit(1)).alias("occ"))
         .persist()
     )
+    if handles is not None:
+        # expose the persisted intermediate so long-lived sessions can
+        # release it once the result is consumed (run_pipeline's
+        # cached.unpersist() discipline)
+        handles["per_doc_bucket"] = per_doc_bucket
     counts = per_doc_bucket.groupBy("bucket").agg(
         F.sum("occ").alias("raw_n"),
         F.sum(F.when(F.col("_is_tgt"), F.col("occ")).otherwise(0)).alias(

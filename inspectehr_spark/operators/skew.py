@@ -107,9 +107,14 @@ def salt_partitions_by_size(
     if size_expr is None:
         size_expr = F.octet_length("html")
     n = n_partitions
+    # distinct() before the rank: a key repeated among giant rows would
+    # otherwise fan out the left join below and silently duplicate input
+    # rows through the pipeline (and make the row_number tie order — and
+    # so the placement — nondeterministic)
     ranks = (
         df.filter(size_expr >= F.lit(giant_bytes))
         .select(key_col)
+        .distinct()
         .withColumn(
             "_rr", F.row_number().over(Window.orderBy(key_col)) - F.lit(1)
         )

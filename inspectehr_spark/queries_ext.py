@@ -157,22 +157,19 @@ def q_ks_drift(spark, sf_dir):
     right = pairs_df.join(eb, "group_b").select(
         "group_a", "group_b", "v", F.lit(None).cast("double").alias("cdf_a"), "cdf_b"
     )
-    # one row per (pair, v) BEFORE the carry-forward — coincident values in
-    # both groups otherwise produce spurious |F1-F2| spikes (tie order in
-    # the window is arbitrary)
-    merged = (
-        left.unionByName(right)
-        .groupBy("group_a", "group_b", "v")
-        .agg(F.max("cdf_a").alias("cdf_a"), F.max("cdf_b").alias("cdf_b"))
-    )
+    # RANGE-frame carry-forward (r7): the frame spans the full tie group
+    # at v, so the (pair, v) collapse aggregation (an exchange) is gone;
+    # max over a nondecreasing CDF == its value at v (see
+    # operators/distribution.ks_pairwise)
+    merged = left.unionByName(right)
     ws = (
         Window.partitionBy("group_a", "group_b").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     stepped = merged.select(
         "group_a", "group_b",
-        F.coalesce(F.last("cdf_a", ignorenulls=True).over(ws), F.lit(0.0)).alias("fa"),
-        F.coalesce(F.last("cdf_b", ignorenulls=True).over(ws), F.lit(0.0)).alias("fb"),
+        F.coalesce(F.max("cdf_a").over(ws), F.lit(0.0)).alias("fa"),
+        F.coalesce(F.max("cdf_b").over(ws), F.lit(0.0)).alias("fb"),
     )
     return stepped.groupBy("group_a", "group_b").agg(
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat")

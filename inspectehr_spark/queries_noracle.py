@@ -274,6 +274,13 @@ def _pipeline_decisions_native_sql() -> str:
     sw = ", ".join(f"'{w}'" for w in ALL_STOPWORDS)
     langs = ", ".join(f"'{l}'" for l in spec.ALLOWED_LANGS)
     _, profiles = spec.build_profiles()
+    # The langid replay below scores only langs PRESENT in the weights join
+    # (absent langs are omitted), while Spark scores them as 0 — the two
+    # argmaxes agree only because every profile weight is >= 1. Turn that
+    # documented invariant into an import-time guard.
+    assert all(
+        w >= 1 for p in profiles.values() for w in p.values()
+    ), "native-oracle langid replay requires all profile weights >= 1"
     wrows = ", ".join(
         f"('{lang}', '{b.replace(chr(39), chr(39)*2)}', {w})"
         for lang in spec.LANGS
