@@ -52,10 +52,38 @@ def has_cartesian(df: DataFrame) -> bool:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle Exchange nodes (excluding broadcast exchanges) —
-    the operator's shuffle budget."""
+    """Number of shuffle Exchange nodes (excluding broadcast exchanges and
+    SinglePartition collapses) — the operator's shuffle budget.
+
+    r7 fix: Spark 4's "formatted" explain puts the operator name and its
+    Arguments on separate lines, so the old single-line regex
+    ("Exchange hashpartitioning...") matched NOTHING and every exchange
+    budget asserted on it was vacuously satisfied. Count Exchange operator
+    entries by their detail blocks instead."""
     plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange RoundRobinPartitioning", plan))
+    count = 0
+    for m in re.finditer(r"^\(\d+\) Exchange\b.*\n(?:^(?!\(\d+\) )[^\n]*\n)*?^Arguments: (\w+)", plan, re.M):
+        if m.group(1) in (
+            "hashpartitioning",
+            "rangepartitioning",
+            "RoundRobinPartitioning",
+        ):
+            count += 1
+    return count
+
+
+def keyed_exchange_count(df: DataFrame) -> int:
+    """Shuffle exchanges with a KEYED partitioning (hash/range) — i.e.
+    excluding the keyless round-robin exchange tables.parallel_scan adds
+    over an under-parallel one-file scan. Gates that assert a path never
+    shuffles BY KEY use this; `exchange_count` keeps counting every
+    shuffle including round robin."""
+    plan = formatted_plan(df)
+    count = 0
+    for m in re.finditer(r"^\(\d+\) Exchange\b.*\n(?:^(?!\(\d+\) )[^\n]*\n)*?^Arguments: (\w+)", plan, re.M):
+        if m.group(1) in ("hashpartitioning", "rangepartitioning"):
+            count += 1
+    return count
 
 
 def codegen_stage_count(df: DataFrame) -> int:

