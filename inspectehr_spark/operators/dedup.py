@@ -110,16 +110,18 @@ def minhash_lsh_duplicates(
     layer in a real run, never silent-dropped without trace.
     """
     rows_per_band = num_hashes // bands
-    # NOTE r7: the md5 oracle-replay variant (q_minhash_lsh_pairs) gained
-    # from a parallel_scan + persisted signature (md5 strings are expensive
-    # enough that computing them under both self-join branches dominated);
-    # the SAME treatment applied here measured ~2x SLOWER (2.7 -> 4.6+ s at
-    # sf0.1) — the xxhash64 sketch is cheap enough that the cache build +
-    # extra exchange cost more than the recompute they avoid. Kept as-is
-    # deliberately.
+    from inspectehr_spark.tables import parallel_scan
+
+    # NOTE r7: the md5 twin's PERSIST was also tried here and measured ~2x
+    # SLOWER at sf0.1 (the xxhash64 sketch is cheap enough that the cache
+    # build costs more than the double-compute it avoids) — only the scan
+    # parallelization is kept (at staged sf1 the single-core sketch was
+    # the dominant cost: 12.7 s of the query's 12.7 s).
     sigs = with_minhash_signature(
-        with_shingles(df.select(F.col(id_col).alias("doc_id"), text_col),
-                      text_col=text_col, n=ngram),
+        with_shingles(
+            parallel_scan(df.select(F.col(id_col).alias("doc_id"), text_col)),
+            text_col=text_col, n=ngram,
+        ),
         num_hashes=num_hashes,
     ).select("doc_id", "sig")
 
