@@ -173,11 +173,18 @@ def q_corpus_top_ngrams(spark, sf_dir):
     staged = docs.withColumn("_toks", F.split("text", r"\s+"))
     staged = staged.withColumn("_grams", word_ngrams(F.col("_toks"), 3))
     g = staged.select("doc_id", F.explode("_grams").alias("gram"))
+    # r7: two-stage aggregation — (gram, doc) partial counts, then per-gram
+    # sum/count — instead of count + countDistinct in one agg, whose
+    # distinct rewrite EXPANDs every row twice before the exchange.
+    # sum(per-doc counts) == total occurrences and count of (gram, doc)
+    # groups == distinct docs, exactly. Measured ~25% at sf0.1, ~8% at
+    # staged sf1.
+    per_doc = g.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("_c"))
     return (
-        g.groupBy("gram")
+        per_doc.groupBy("gram")
         .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("_c").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
         .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
         .limit(25)
