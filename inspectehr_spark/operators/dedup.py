@@ -736,18 +736,20 @@ def substring_dup_stats(
     generalization (SURVEY §8)."""
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    from inspectehr_spark.tables import parallel_scan
-
     L = F.length(F.col(text_col))
     pos = F.when(
         L >= window, F.sequence(F.lit(1), L - (window - 1), F.lit(hop))
     ).otherwise(F.array().cast("array<int>"))
     # Column-API substring keeps an exotic text column name (dots, spaces)
-    # parseable — F.expr string interpolation was not backtick-safe
+    # parseable — F.expr string interpolation was not backtick-safe.
+    # NOTE r7: a parallel_scan guard here measured a consistent ~0.5 s
+    # LOSS at sf0.1 (one md5 per `hop` chars is light per-row work; the
+    # extra exchange costs more than the width buys) — unlike the
+    # gram-explosion operators, this one stays on the raw scan.
     win = F.col(text_col).substr(F.col("_p"), F.lit(window))
     h = F.md5(win) if hash_fn == "md5" else F.xxhash64(win)
     wins = (
-        parallel_scan(df.select(id_col, text_col))
+        df.select(id_col, text_col)
         .withColumn("_pos", pos)
         .select(id_col, text_col, F.explode("_pos").alias("_p"))
         .select(id_col, h.alias("_h"))
